@@ -1,0 +1,72 @@
+"""Text normalization / tokenization / blocking-key column expressions.
+
+All functions here are **native Catalyst expressions** (JVM-side, inside
+whole-stage codegen) — no Python in the hot path. Each has an exactly
+matching DuckDB SQL fragment in ``functions/sqlgen.py`` used by the
+correctness oracle; keep the two in lockstep.
+
+Semantics follow the reference:
+
+* ``normalize_text`` — the reference's ``simplify`` (lowercase, punctuation →
+  space, collapse whitespace, trim; ``util/Utils.java:832-851``).
+* ``blocking_key`` — sorted-neighborhood prefix key: strip leading "the ",
+  remove spaces, first-N chars padded with '#'
+  (``util/Utils.java:682-732`` music key, ``util/Utils.java:805-825`` geo
+  padding).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def normalize_text(col: Column) -> Column:
+    """lowercase, non-alnum → space, collapse runs of spaces, trim."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, "[^a-z0-9 ]", " ")
+    c = F.regexp_replace(c, " +", " ")
+    return F.trim(c)
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens of normalized text, empty tokens removed."""
+    return F.filter(F.split(normalize_text(col), " "), lambda t: t != F.lit(""))
+
+
+def distinct_tokens(col: Column) -> Column:
+    """Token *set* (order unspecified — use only for set-size math)."""
+    return F.array_distinct(tokens(col))
+
+
+def blocking_key(col: Column, length: int = 4) -> Column:
+    """Prefix blocking key over normalized text.
+
+    Strip leading "the ", drop spaces, take first ``length`` chars, pad with
+    '#'. Matches reference ``Utils.getBlockingKey`` semantics.
+    """
+    norm = normalize_text(col)
+    nothe = F.when(norm.startswith("the "), F.substring(norm, 5, 2_000_000)).otherwise(norm)
+    nospace = F.replace(nothe, F.lit(" "), F.lit(""))
+    return F.rpad(F.substring(nospace, 1, length), length, "#")
+
+
+def token_set_jaccard(a_tokens: Column, b_tokens: Column) -> Column:
+    """Jaccard over token sets — exact (integer set sizes → deterministic)."""
+    inter = F.size(F.array_intersect(a_tokens, b_tokens))
+    union = F.size(F.array_union(a_tokens, b_tokens))
+    return F.when(union == 0, F.lit(0.0)).otherwise(
+        inter.cast("double") / union.cast("double")
+    )
+
+
+def sim_e6(sim: Column) -> Column:
+    """Similarity as integer millionths: floor(sim*1e6 + 0.5).
+
+    Used for oracle-checked outputs: floor/multiply are exact IEEE ops, so
+    Spark and DuckDB produce bit-identical integers (double `round` dialects
+    differ in half-way tie handling; this formula is engine-independent).
+    Mirrors the reference's 6-dp HALF_UP discipline
+    (``util/Utils.java:477-490``).
+    """
+    return F.floor(sim * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")

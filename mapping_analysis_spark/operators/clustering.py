@@ -1,0 +1,294 @@
+"""Clustering operators: connected components, greedy block-local merge,
+representative creation.
+
+Reference parity:
+
+* ``connected_components`` — the reference runs Gelly GSAConnectedComponents
+  (min-id label propagation,
+  ``graph/utils/ConnectedComponentIdAdder.java:33-43``). Here: iterative
+  min-label propagation over DataFrames with localCheckpoint lineage cuts.
+  Entity-resolution components are tiny (bounded by the source count), so
+  convergence is a handful of supersteps; for adversarially deep graphs at
+  100 TB switch to ``large_star_small_star`` (same module), the
+  O(log n)-round algorithm of Kiveris et al., "Connected Components in
+  MapReduce and Beyond" (SoCC'14).
+* ``greedy_merge`` — the delta-iteration merge kernel
+  (``model/functions/merge/DeltaIterateMergeMusicStepFunction.java:104-137``):
+  per block, repeatedly merge the max-sim pair (ties → asc ids) subject to
+  source restrictions (no overlap, count <= max_sources,
+  ``CheckRestrictionsFilterFunction.java:48-52``), re-scoring the merged
+  cluster against survivors, until no pair >= threshold. All merge decisions
+  are block-local in the reference (the per-superstep max is per blocking
+  key), so the whole Flink delta iteration collapses to one
+  ``applyInPandas`` group function.
+* ``representatives`` — majority vote per attribute, ties → longer string
+  (``util/Utils.java:63-84`` getFinalValue), cluster id = min member id
+  (``RepresentativeCreatorMultiMerge.java:31-47``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+class UnionFind:
+    """Plain union-find with path compression — shared by the batch driver
+    loop reconciliation and the streaming per-key state function."""
+
+    def __init__(self) -> None:
+        self.parent: dict = {}
+
+    def find(self, x):
+        p = self.parent.setdefault(x, x)
+        if p != x:
+            self.parent[x] = p = self.find(p)
+        return p
+
+    def union(self, a, b) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra == rb:
+            return
+        if rb < ra:  # min-id root → deterministic cluster ids
+            ra, rb = rb, ra
+        self.parent[rb] = ra
+
+    def components(self) -> dict:
+        return {x: self.find(x) for x in list(self.parent)}
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Min-id label propagation to fixpoint. Returns (node, component).
+
+    component = min node id reachable (string or numeric min both work).
+    Each superstep is one shuffle (groupBy node); lineage is cut with
+    localCheckpoint so the plan stays constant-size.
+    """
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    )
+    sym = sym.dropDuplicates(["u", "v"]).localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        msgs = (
+            sym.join(labels, sym.u == labels.node)
+            .select(F.col("v").alias("node"), F.col("comp"))
+            .groupBy("node")
+            .agg(F.min("comp").alias("msg"))
+        )
+        new_labels = (
+            labels.join(msgs, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce(F.col("msg"), F.col("comp"))).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def large_star_small_star(
+    edges: DataFrame, src: str = "a", dst: str = "b", max_iter: int = 30
+) -> DataFrame:
+    """Kiveris et al. alternating large-star/small-star CC — O(log n) rounds,
+    the 100 TB-scale path. Returns (node, component).
+
+    large-star: every node connects its larger neighbors to its min neighbor;
+    small-star: every node connects its smaller-or-equal neighbors to the min.
+    Fixpoint → every node points at its component's min id.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # ---- large-star ----
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        nbr_min = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        ls = (
+            sym.join(nbr_min, "u")
+            .withColumn("m", F.least(F.col("mn"), F.col("u")))
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .dropDuplicates()
+        )
+        # ---- small-star ----
+        ss_in = ls.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).dropDuplicates()
+        nbr_min2 = ss_in.groupBy("u").agg(F.min("v").alias("mn"))
+        ss = (
+            ss_in.join(nbr_min2, "u")
+            .withColumn("m", F.least(F.col("mn"), F.col("u")))
+            .select(F.col("v").alias("n"), F.col("m"), F.col("u").alias("self_u"))
+        )
+        new_e = (
+            ss.select(F.col("n").alias("u"), F.col("m").alias("v"))
+            .union(ss.select(F.col("self_u").alias("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .dropDuplicates()
+            .localCheckpoint(eager=True)
+        )
+        converged = (
+            new_e.exceptAll(e).limit(1).count() == 0 and e.exceptAll(new_e).limit(1).count() == 0
+        )
+        e = new_e
+        if converged:
+            break
+    comp = e.select(F.col("u").alias("node"), F.col("v").alias("comp"))
+    roots = comp.select(F.col("comp").alias("node"), F.col("comp"))
+    return comp.union(roots).groupBy("node").agg(F.min("comp").alias("comp"))
+
+
+def assign_cluster_ids(nodes: DataFrame, edges: DataFrame, id_col: str) -> DataFrame:
+    """nodes + CC over edges → (id_col, cluster_id); singletons keep own id."""
+    comp = connected_components(edges)
+    return (
+        nodes.join(comp.withColumnRenamed("node", id_col), id_col, "left")
+        .withColumn("cluster_id", F.coalesce(F.col("comp"), F.col(id_col)))
+        .drop("comp")
+    )
+
+
+def greedy_merge(
+    scored_pairs: DataFrame,
+    block_col: str = "block",
+    a_col: str = "a_rid",
+    b_col: str = "b_rid",
+    sim_col: str = "sim",
+    a_sources: str = "a_smask",
+    b_sources: str = "b_smask",
+    threshold: float = 0.8,
+    max_sources: int = 5,
+    rescore: Callable[[frozenset, frozenset], float] | None = None,
+) -> DataFrame:
+    """Block-local greedy agglomerative merge (the reference delta iteration).
+
+    Returns (rid, cluster_rid) for every record id seen in the block's pairs.
+    Tie-breaks mirror ``DeltaIterateMergeMusicStepFunction.java:113-131``:
+    max sim, then asc a id, then asc b id; merged cluster id = min member id.
+    Without ``rescore`` the merged cluster inherits the max of its members'
+    pair sims to outsiders (single-linkage), which matches the reference's
+    recompute-against-survivors loop for mean-of-max metrics at pair level.
+    """
+    out_schema = StructType(
+        [
+            StructField("rid", StringType()),
+            StructField("cluster_rid", StringType()),
+        ]
+    )
+
+    def merge_block(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        sims: dict[tuple[str, str], float] = {}
+        masks: dict[str, int] = {}
+        members: dict[str, frozenset] = {}
+        for r in pdf.itertuples(index=False):
+            a, b = getattr(r, a_col), getattr(r, b_col)
+            sims[(a, b)] = getattr(r, sim_col)
+            masks.setdefault(a, int(getattr(r, a_sources)))
+            masks.setdefault(b, int(getattr(r, b_sources)))
+            members.setdefault(a, frozenset([a]))
+            members.setdefault(b, frozenset([b]))
+        parent = {x: x for x in masks}
+
+        def ok(x: str, y: str) -> bool:
+            return (masks[x] & masks[y]) == 0 and bin(masks[x] | masks[y]).count("1") <= max_sources
+
+        while True:
+            cand = [
+                (s, a, b)
+                for (a, b), s in sims.items()
+                if s >= threshold and ok(a, b)
+            ]
+            if not cand:
+                break
+            # max sim; ties → asc a then asc b
+            s, a, b = min(cand, key=lambda t: (-t[0], t[1], t[2]))
+            keep, gone = (a, b) if a < b else (b, a)
+            for x, root in list(parent.items()):
+                if root == gone:
+                    parent[x] = keep
+            parent[gone] = keep
+            masks[keep] = masks[keep] | masks[gone]
+            members[keep] = members[keep] | members[gone]
+            # Re-point pair sims at the surviving id (single-linkage max).
+            new_sims: dict[tuple[str, str], float] = {}
+            for (x, y), sv in sims.items():
+                nx = keep if x == gone else x
+                ny = keep if y == gone else y
+                if nx == ny:
+                    continue
+                if nx > ny:
+                    nx, ny = ny, nx
+                if rescore is not None:
+                    sv2 = rescore(members[nx] if nx in members else frozenset([nx]),
+                                  members[ny] if ny in members else frozenset([ny]))
+                else:
+                    sv2 = sv
+                prev = new_sims.get((nx, ny))
+                new_sims[(nx, ny)] = sv2 if prev is None else max(prev, sv2)
+            sims = new_sims
+            del masks[gone]
+        rows = [(x, parent[x]) for x in parent]
+        return pd.DataFrame(rows, columns=["rid", "cluster_rid"])
+
+    cols = [block_col, a_col, b_col, sim_col, a_sources, b_sources]
+    return scored_pairs.select(cols).groupBy(block_col).applyInPandas(merge_block, out_schema)
+
+
+def representatives(
+    assignments: DataFrame,
+    transcripts: DataFrame,
+    conv_col: str = "conv_id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Majority-vote representative transcript per cluster.
+
+    Per (cluster, turn_idx): the most frequent member text wins; ties → the
+    longer text, then lexicographically smaller (reference getFinalValue,
+    ``util/Utils.java:63-84``, plus a total-order tiebreak for determinism).
+    """
+    joined = transcripts.join(assignments, conv_col)
+    counted = joined.groupBy(cluster_col, "turn_idx", "text").agg(
+        F.count("*").alias("n_votes")
+    )
+    w = Window.partitionBy(cluster_col, "turn_idx").orderBy(
+        F.col("n_votes").desc(), F.length("text").desc(), F.col("text").asc()
+    )
+    return (
+        counted.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(cluster_col, "turn_idx", "text", "n_votes")
+    )

@@ -1,0 +1,173 @@
+"""Batch entity-matching pipeline over the transcripts table.
+
+This is the batch *oracle* for the streaming engine (SURVEY.md §7 step 2) and
+the flagship query: conversations are the entities; near-duplicate
+conversations (same logical entity emitted by different "sources") are
+matched, clustered, and reduced to one representative — the reference's
+match → cluster → representative flow
+(``benchmark/musicbrainz/MusicbrainzBenchmark.java:84-154``) re-expressed as
+a declarative DataFrame plan:
+
+    transcripts
+      → conversation records (label = first-turn text, doc = full text)
+      → prefix blocking key                (Utils.getBlockingKey semantics)
+      → skew-salted candidate pair self-join (BlockSplit semantics)
+      → token-set Jaccard similarity >= threshold
+      → connected components (min-id)      (GSAConnectedComponents semantics)
+      → majority-vote representatives      (getFinalValue semantics)
+
+Every step is Catalyst-visible (joins, groupBys, windows); the only Python is
+inside Arrow-batched group/pair kernels.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mapping_analysis_spark.functions.text import (
+    blocking_key,
+    distinct_tokens,
+    normalize_text,
+    token_set_jaccard,
+)
+from mapping_analysis_spark.functions.simfns import make_minhash_udf
+from mapping_analysis_spark.operators.blocking import (
+    block_pairs,
+    lsh_band_pairs,
+    salted_block_pairs,
+)
+from mapping_analysis_spark.operators.clustering import (
+    assign_cluster_ids,
+    representatives,
+)
+
+# Measured on the seeded corpus: false-pair Jaccard tops out ~0.28, true pairs
+# start ~0.40 (p01) — 0.35 separates cleanly (cf. the reference's measured
+# per-domain cutoffs, e.g. 0.6 at BasicEdgeSimilarityComputation.java:110).
+DEFAULT_THRESHOLD = 0.35
+DEFAULT_BLOCK_LENGTH = 4
+DEFAULT_LSH_BANDS = 32
+
+
+def conversation_records(transcripts: DataFrame) -> DataFrame:
+    """Collapse turns into one record per conversation.
+
+    label = first-turn text (blocking basis, the reference's entity label);
+    doc   = all turn texts concatenated in turn order (similarity basis);
+    source = the trailing ``_s<k>`` of conv_id (the reference's dataSource,
+    bitmask-encoded like ``util/AbstractionUtils.java:36-61``).
+    """
+    ordered_texts = F.transform(
+        F.array_sort(F.collect_list(F.struct("turn_idx", "text"))), lambda x: x.text
+    )
+    rec = transcripts.groupBy("conv_id").agg(
+        F.min_by("text", "turn_idx").alias("label_raw"),
+        F.array_join(ordered_texts, " ").alias("doc_raw"),
+        F.count("*").alias("n_turns"),
+    )
+    source = F.coalesce(
+        F.nullif(F.regexp_extract("conv_id", "_s([0-9]+)$", 1), F.lit("")), F.lit("0")
+    ).cast("int")
+    return rec.select(
+        F.col("conv_id").alias("rid"),
+        source.alias("source"),
+        normalize_text(F.col("label_raw")).alias("label"),
+        normalize_text(F.col("doc_raw")).alias("doc"),
+        F.col("n_turns"),
+    ).withColumn("smask", F.expr("shiftleft(1, source)"))
+
+
+def candidate_pairs(
+    records: DataFrame,
+    block_length: int = DEFAULT_BLOCK_LENGTH,
+    salted: bool = True,
+    cap: int = 1024,
+    lsh_bands: int = DEFAULT_LSH_BANDS,
+) -> DataFrame:
+    """Candidate id-pairs = prefix-block pairs ∪ MinHash-LSH band pairs,
+    cross-source only (IntraSourceLinkRemover semantics,
+    ``IntraSourceLinkRemover.java:43-57``), with token arrays joined back for
+    scoring.
+
+    The union mirrors the reference's strategy composition (IDF/LSH blocking
+    unioned with a standard-blocking fallback,
+    ``model/functions/merge/MergeExecution.java:239-269``): the prefix key is
+    cheap and precise, the LSH bands recover prefix-corrupted duplicates.
+    With 32 bands × 1 row the probability of missing a Jaccard-0.35 pair is
+    (1-0.35)^32 ≈ 1e-6, so exact-verification after banding reproduces the
+    brute-force oracle while staying subquadratic at scale.
+    """
+    rec = records.withColumn("block_key", blocking_key(F.col("label"), block_length))
+    rec = rec.withColumn("toks", distinct_tokens(F.col("doc")))
+    rec = rec.localCheckpoint(eager=False)
+    slim = rec.select("rid", "source", "block_key")
+    if salted:
+        bp = salted_block_pairs(slim, cap=cap).select("a_rid", "b_rid")
+    else:
+        bp = block_pairs(slim).select("a_rid", "b_rid")
+    id_pairs = bp
+    if lsh_bands:
+        mh = make_minhash_udf(num_hashes=lsh_bands, shingle_width=1)
+        sig = rec.select("rid", mh(F.col("toks")).alias("minhash"))
+        lp = lsh_band_pairs(sig, bands=lsh_bands, rows_per_band=1)
+        id_pairs = id_pairs.union(lp.select("a_rid", "b_rid"))
+    id_pairs = id_pairs.dropDuplicates(["a_rid", "b_rid"])
+    a = rec.select(
+        F.col("rid").alias("a_rid"), F.col("source").alias("a_source"), F.col("toks").alias("a_toks")
+    )
+    b = rec.select(
+        F.col("rid").alias("b_rid"), F.col("source").alias("b_source"), F.col("toks").alias("b_toks")
+    )
+    return (
+        id_pairs.join(a, "a_rid")
+        .join(b, "b_rid")
+        .filter(F.col("a_source") != F.col("b_source"))
+    )
+
+
+def score_conversation_pairs(pairs: DataFrame) -> DataFrame:
+    """Token-set Jaccard over full conversation text (integer set sizes →
+    engine-deterministic doubles)."""
+    return pairs.withColumn(
+        "sim", token_set_jaccard(F.col("a_toks"), F.col("b_toks"))
+    ).drop("a_toks", "b_toks")
+
+
+def match_conversations(
+    transcripts: DataFrame,
+    threshold: float = DEFAULT_THRESHOLD,
+    block_length: int = DEFAULT_BLOCK_LENGTH,
+    salted: bool = True,
+    cap: int = 1024,
+) -> DataFrame:
+    """Full batch pipeline → (conv_id, cluster_id); singletons keep own id."""
+    rec = conversation_records(transcripts)
+    pairs = candidate_pairs(rec, block_length=block_length, salted=salted, cap=cap)
+    scored = score_conversation_pairs(pairs)
+    edges = scored.filter(F.col("sim") >= F.lit(threshold)).select(
+        F.col("a_rid").alias("a"), F.col("b_rid").alias("b")
+    )
+    nodes = rec.select(F.col("rid").alias("conv_id"))
+    return assign_cluster_ids(nodes, edges, "conv_id")
+
+
+def dedup_conversations(
+    transcripts: DataFrame,
+    threshold: float = DEFAULT_THRESHOLD,
+) -> DataFrame:
+    """Flagship query: cluster assignment + cluster size per conversation,
+    stable (cluster_id, conv_id) output order columns."""
+    assign = match_conversations(transcripts, threshold=threshold)
+    sizes = assign.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return assign.join(sizes, "cluster_id").select(
+        "conv_id", "cluster_id", "cluster_size"
+    )
+
+
+def representative_transcripts(
+    transcripts: DataFrame, threshold: float = DEFAULT_THRESHOLD
+) -> DataFrame:
+    """Match + cluster, then emit one majority-vote transcript per cluster."""
+    assign = match_conversations(transcripts, threshold=threshold)
+    return representatives(assign, transcripts)

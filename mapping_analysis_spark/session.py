@@ -1,0 +1,57 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]``; the same config block is
+what we would pass to ``spark-submit`` on a real cluster (AQE, skew-join,
+Arrow). Shuffle partitions default to the core count locally — on a cluster
+they should be sized to ~2-3x total cores (set via ``shuffle_partitions``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "mapping-analysis-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for this engine.
+
+    Notes on the flags:
+
+    * AQE + skew-join: runtime re-planning; the explicit hot-block salting in
+      ``operators/blocking.py`` handles skew *inside* self-join pair
+      generation, which AQE alone cannot see.
+    * ``spark.sql.session.timeZone=UTC``: required so timestamp semantics
+      match the DuckDB correctness oracle (duckdb timestamps are UTC-naive).
+    * Arrow enabled: all pandas UDFs ride the Arrow batch path (the engine
+      contains no row-at-a-time Python UDFs).
+    """
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    if shuffle_partitions is None:
+        shuffle_partitions = cores
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(cores))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
