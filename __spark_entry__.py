@@ -1,38 +1,817 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is one operator/pipeline from SURVEY.md §2
+re-expressed Spark-first; ``oracle_sql()`` holds the equivalent DuckDB SQL.
+The transcripts table (the engine's primary input per BASELINE.json
+input_hint) is synthesized deterministically (seed=42) and cached under
+``_synth/``; both Spark and DuckDB read the *same parquet file*, so value
+hashes are exact. Similarities are emitted as integer millionths
+(``floor(sim*1e6+0.5)``) because float-round dialects differ between engines
+while floor/multiply are exact IEEE ops.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from mapping_analysis_spark.data.transcripts import SYNTH_ROOT, ensure_transcripts
+from mapping_analysis_spark.functions import sqlgen
+from mapping_analysis_spark.functions.simfns import make_minhash_udf, trigram_cosine
+from mapping_analysis_spark.functions.text import (
+    blocking_key,
+    distinct_tokens,
+    normalize_text,
+    sim_e6,
+    token_set_jaccard,
+)
+from mapping_analysis_spark.operators.blocking import lsh_band_pairs
+from mapping_analysis_spark.operators.clustering import connected_components
+from mapping_analysis_spark.pipeline import (
+    DEFAULT_THRESHOLD,
+    conversation_records,
+    dedup_conversations,
+)
+
+# The driver compares at sf=0.01 — the oracle reads the same cached parquet.
+_T001 = ensure_transcripts("/root/testdata/sf0.001")
+_T01 = ensure_transcripts("/root/testdata/sf0.01")
+T_SQL = f"read_parquet('{os.path.join(SYNTH_ROOT, 'sf0.01', 'transcripts.parquet')}')"
+
+
+def _t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(ensure_transcripts(sf_dir))
+
+
+def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# Shared SQL building blocks (mirror mapping_analysis_spark.pipeline exactly)
+# ---------------------------------------------------------------------------
+
+_REC_SQL = f"""
+rec0 AS (
+  SELECT conv_id AS rid,
+         arg_min(text, turn_idx) AS label_raw,
+         string_agg(text, ' ' ORDER BY turn_idx) AS doc_raw,
+         count(*) AS n_turns
+  FROM {T_SQL} GROUP BY conv_id
+),
+rec AS (
+  SELECT rid,
+         CAST(coalesce(nullif(regexp_extract(rid, '_s([0-9]+)$', 1), ''), '0') AS INT) AS source,
+         {sqlgen.norm_sql('label_raw')} AS label,
+         {sqlgen.norm_sql('doc_raw')} AS doc,
+         n_turns
+  FROM rec0
+)
+"""
+
+_BLOCKED_PAIRS_SQL = f"""
+{_REC_SQL},
+blk AS (
+  SELECT rid, source, {sqlgen.blocking_key_sql('label')} AS block_key,
+         list_distinct({sqlgen.tokens_sql('doc')}) AS toks, label
+  FROM rec
+),
+pairs AS (
+  SELECT a.block_key AS block_key, a.rid AS a_rid, b.rid AS b_rid,
+         a.toks AS a_toks, b.toks AS b_toks, a.label AS a_label, b.label AS b_label
+  FROM blk a JOIN blk b
+    ON a.block_key = b.block_key AND a.rid < b.rid AND a.source <> b.source
+)
+"""
+
+_JACCARD = sqlgen.token_jaccard_sql("a_toks", "b_toks")
+
+
+# ---------------------------------------------------------------------------
+# Conversation / transcripts queries
+# ---------------------------------------------------------------------------
+
+def q_conv_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return conversation_records(_t(spark, sf_dir)).select(
+        "rid", "source", "smask", "label", "doc", "n_turns"
+    )
+
+
+SQL_CONV_RECORDS = f"""
+WITH {_REC_SQL}
+SELECT rid, source, CAST(1 << source AS INT) AS smask, label, doc, n_turns FROM rec
+"""
+
+
+def q_conv_blocking_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rec = conversation_records(_t(spark, sf_dir))
+    return rec.select("rid", blocking_key(F.col("label")).alias("block_key"))
+
+
+SQL_CONV_BLOCKING_KEYS = f"""
+WITH {_REC_SQL}
+SELECT rid, {sqlgen.blocking_key_sql('label')} AS block_key FROM rec
+"""
+
+
+def q_conv_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STANDARD_BLOCKING candidate pairs (cross-source, a<b) — salted path."""
+    from mapping_analysis_spark.operators.blocking import salted_block_pairs
+
+    rec = conversation_records(_t(spark, sf_dir))
+    rec = rec.withColumn("block_key", blocking_key(F.col("label")))
+    slim = rec.select("rid", "source", "block_key")
+    return salted_block_pairs(slim, cap=256).select(
+        F.col("a_block_key").alias("block_key"), "a_rid", "b_rid"
+    )
+
+
+SQL_CONV_CANDIDATE_PAIRS = f"""
+WITH {_BLOCKED_PAIRS_SQL}
+SELECT block_key, a_rid, b_rid FROM pairs
+"""
+
+
+def q_conv_pair_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set Jaccard per blocked pair, as integer millionths."""
+    from mapping_analysis_spark.operators.blocking import block_pairs
+
+    rec = conversation_records(_t(spark, sf_dir))
+    rec = rec.withColumn("block_key", blocking_key(F.col("label")))
+    rec = rec.withColumn("toks", distinct_tokens(F.col("doc")))
+    pairs = block_pairs(rec.select("rid", "source", "block_key", "toks"))
+    return pairs.select(
+        "a_rid",
+        "b_rid",
+        sim_e6(token_set_jaccard(F.col("a_toks"), F.col("b_toks"))).alias("sim_e6"),
+    )
+
+
+SQL_CONV_PAIR_JACCARD = f"""
+WITH {_BLOCKED_PAIRS_SQL}
+SELECT a_rid, b_rid, {sqlgen.sim_e6_sql(_JACCARD)} AS sim_e6 FROM pairs
+"""
+
+
+def q_conv_pair_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COSINE_TRIGRAM metric (reference ``util/Utils.java:853-873``) on labels
+    of blocked pairs — multiset cosine over padded 3-grams."""
+    from mapping_analysis_spark.operators.blocking import block_pairs
+
+    rec = conversation_records(_t(spark, sf_dir))
+    rec = rec.withColumn("block_key", blocking_key(F.col("label")))
+    pairs = block_pairs(rec.select("rid", "source", "block_key", "label"))
+    return pairs.select(
+        "a_rid",
+        "b_rid",
+        sim_e6(trigram_cosine(F.col("a_label"), F.col("b_label"))).alias("sim_e6"),
+    )
+
+
+SQL_CONV_PAIR_TRIGRAM = f"""
+WITH {_BLOCKED_PAIRS_SQL},
+tg AS (
+  SELECT a_rid, b_rid,
+         {sqlgen.trigrams_sql('a_label')} AS ga,
+         {sqlgen.trigrams_sql('b_label')} AS gb
+  FROM pairs
+),
+ca AS (
+  SELECT a_rid, b_rid, t, count(*) AS c
+  FROM (SELECT a_rid, b_rid, unnest(ga) AS t FROM tg) GROUP BY a_rid, b_rid, t
+),
+cb AS (
+  SELECT a_rid, b_rid, t, count(*) AS c
+  FROM (SELECT a_rid, b_rid, unnest(gb) AS t FROM tg) GROUP BY a_rid, b_rid, t
+),
+dots AS (
+  SELECT ca.a_rid, ca.b_rid, sum(ca.c * cb.c) AS dot
+  FROM ca JOIN cb ON ca.a_rid = cb.a_rid AND ca.b_rid = cb.b_rid AND ca.t = cb.t
+  GROUP BY ca.a_rid, ca.b_rid
+),
+na AS (SELECT a_rid, b_rid, sum(c*c) AS n FROM ca GROUP BY a_rid, b_rid),
+nb AS (SELECT a_rid, b_rid, sum(c*c) AS n FROM cb GROUP BY a_rid, b_rid)
+SELECT tg.a_rid, tg.b_rid,
+  {sqlgen.sim_e6_sql('coalesce(CAST(dots.dot AS DOUBLE) / sqrt(CAST(na.n AS DOUBLE) * CAST(nb.n AS DOUBLE)), 0.0)')} AS sim_e6
+FROM tg
+JOIN na ON tg.a_rid = na.a_rid AND tg.b_rid = na.b_rid
+JOIN nb ON tg.a_rid = nb.a_rid AND tg.b_rid = nb.b_rid
+LEFT JOIN dots ON tg.a_rid = dots.a_rid AND tg.b_rid = dots.b_rid
+"""
+
+
+def q_conv_max_both(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAX_BOTH mutual-best selection (MaxBothSelection.java:27-82) over
+    blocked Jaccard pairs >= threshold."""
+    from mapping_analysis_spark.operators.blocking import block_pairs
+    from mapping_analysis_spark.operators.matching import max_both
+
+    rec = conversation_records(_t(spark, sf_dir))
+    rec = rec.withColumn("block_key", blocking_key(F.col("label")))
+    rec = rec.withColumn("toks", distinct_tokens(F.col("doc")))
+    pairs = block_pairs(rec.select("rid", "source", "block_key", "toks"))
+    scored = pairs.select(
+        "a_rid", "b_rid", token_set_jaccard(F.col("a_toks"), F.col("b_toks")).alias("sim")
+    ).filter(F.col("sim") >= DEFAULT_THRESHOLD)
+    return max_both(scored).select("a_rid", "b_rid", sim_e6(F.col("sim")).alias("sim_e6"))
+
+
+SQL_CONV_MAX_BOTH = f"""
+WITH {_BLOCKED_PAIRS_SQL},
+scored AS (
+  SELECT a_rid, b_rid, {_JACCARD} AS sim FROM pairs
+  WHERE {_JACCARD} >= {DEFAULT_THRESHOLD}
+),
+ranked AS (
+  SELECT a_rid, b_rid, sim,
+    row_number() OVER (PARTITION BY a_rid ORDER BY sim DESC, b_rid ASC) AS ra,
+    row_number() OVER (PARTITION BY b_rid ORDER BY sim DESC, a_rid ASC) AS rb
+  FROM scored
+)
+SELECT a_rid, b_rid, {sqlgen.sim_e6_sql('sim')} AS sim_e6 FROM ranked WHERE ra = 1 AND rb = 1
+"""
+
+
+def q_conv_dedup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship (oracle-checkable variant): prefix-blocked pairs → Jaccard >=
+    threshold → connected components → (conv_id, cluster_id, cluster_size).
+    The oracle replays the closure with a recursive CTE."""
+    from mapping_analysis_spark.operators.blocking import block_pairs
+
+    t = _t(spark, sf_dir)
+    rec = conversation_records(t)
+    rec = rec.withColumn("block_key", blocking_key(F.col("label")))
+    rec = rec.withColumn("toks", distinct_tokens(F.col("doc")))
+    pairs = block_pairs(rec.select("rid", "source", "block_key", "toks"))
+    edges = (
+        pairs.withColumn("sim", token_set_jaccard(F.col("a_toks"), F.col("b_toks")))
+        .filter(F.col("sim") >= DEFAULT_THRESHOLD)
+        .select(F.col("a_rid").alias("a"), F.col("b_rid").alias("b"))
+    )
+    comp = connected_components(edges)
+    assign = (
+        rec.select(F.col("rid").alias("conv_id"))
+        .join(comp.withColumnRenamed("node", "conv_id"), "conv_id", "left")
+        .withColumn("cluster_id", F.coalesce(F.col("comp"), F.col("conv_id")))
+        .drop("comp")
+    )
+    sizes = assign.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return assign.join(sizes, "cluster_id").select("conv_id", "cluster_id", "cluster_size")
+
+
+SQL_CONV_DEDUP_BLOCKED = f"""
+WITH RECURSIVE {_BLOCKED_PAIRS_SQL},
+edges AS (
+  SELECT a_rid AS a, b_rid AS b FROM pairs WHERE {_JACCARD} >= {DEFAULT_THRESHOLD}
+),
+sym AS (SELECT a AS u, b AS v FROM edges UNION SELECT b, a FROM edges),
+reach AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+),
+comp AS (
+  SELECT u AS node, least(min(v), u) AS cluster_id FROM reach GROUP BY u
+),
+assign AS (
+  SELECT rid AS conv_id, coalesce(comp.cluster_id, rid) AS cluster_id
+  FROM rec LEFT JOIN comp ON rec.rid = comp.node
+),
+sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM assign GROUP BY cluster_id)
+SELECT a.conv_id, a.cluster_id, s.cluster_size
+FROM assign a JOIN sizes s ON a.cluster_id = s.cluster_id
+"""
+
+
+def q_conv_dedup_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship full pipeline (prefix blocking ∪ MinHash-LSH recall path +
+    skew salting). LSH banding is not SQL-expressible → rows-only check;
+    quality vs planted gold is asserted in tests/test_pipeline_batch.py."""
+    return dedup_conversations(_t(spark, sf_dir))
+
+
+def q_conv_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority-vote representative per (cluster, turn) — getFinalValue
+    semantics (``util/Utils.java:63-84``): most votes, then longer text,
+    then lexicographic."""
+    from mapping_analysis_spark.operators.clustering import representatives
+
+    t = _t(spark, sf_dir)
+    assign = q_conv_dedup_blocked(spark, sf_dir).select("conv_id", "cluster_id")
+    return representatives(assign, t)
+
+
+SQL_CONV_REPRESENTATIVES = f"""
+WITH RECURSIVE {_BLOCKED_PAIRS_SQL},
+edges AS (
+  SELECT a_rid AS a, b_rid AS b FROM pairs WHERE {_JACCARD} >= {DEFAULT_THRESHOLD}
+),
+sym AS (SELECT a AS u, b AS v FROM edges UNION SELECT b, a FROM edges),
+reach AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+),
+comp AS (SELECT u AS node, least(min(v), u) AS cluster_id FROM reach GROUP BY u),
+assign AS (
+  SELECT rid AS conv_id, coalesce(comp.cluster_id, rid) AS cluster_id
+  FROM rec LEFT JOIN comp ON rec.rid = comp.node
+),
+counted AS (
+  SELECT a.cluster_id, t.turn_idx, t.text, count(*) AS n_votes
+  FROM {T_SQL} t JOIN assign a ON t.conv_id = a.conv_id
+  GROUP BY a.cluster_id, t.turn_idx, t.text
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY cluster_id, turn_idx
+    ORDER BY n_votes DESC, len(text) DESC, text ASC) AS rn
+  FROM counted
+)
+SELECT cluster_id, turn_idx, text, n_votes FROM ranked WHERE rn = 1
+"""
+
+
+def q_conv_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of turns per conversation (batch analogue of
+    streaming session_window; 300 s gap)."""
+    t = _t(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    gapped = t.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "new_sess",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (F.col("ts") - F.col("prev_ts") > F.expr("INTERVAL 300 SECOND")),
+            1,
+        ).otherwise(0),
+    )
+    sess = gapped.withColumn(
+        "session_idx", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sess.groupBy("conv_id", "session_idx").agg(
+        F.count("*").alias("n_turns"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+SQL_CONV_SESSIONS = f"""
+WITH g AS (
+  SELECT conv_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch(ts) - epoch(lag(ts) OVER w) > 300
+         THEN 1 ELSE 0 END AS new_sess
+  FROM {T_SQL}
+  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+),
+s AS (
+  SELECT conv_id, ts,
+    CAST(sum(new_sess) OVER (PARTITION BY conv_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+  FROM g
+)
+SELECT conv_id, session_idx, count(*) AS n_turns,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM s GROUP BY conv_id, session_idx
+"""
+
+
+def q_conv_role_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window counts per role."""
+    t = _t(spark, sf_dir)
+    return t.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "role"
+    ).agg(F.count("*").alias("n_turns"))
+
+
+SQL_CONV_ROLE_HOURLY = f"""
+SELECT date_trunc('hour', ts) AS hour, role, count(*) AS n_turns
+FROM {T_SQL} GROUP BY 1, 2
+"""
+
+
+def q_turn_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over turn texts: groups of identical texts across
+    conversations (hash-groupBy dedup baseline)."""
+    t = _t(spark, sf_dir)
+    return (
+        t.groupBy("text")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min(F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string"))).alias("keeper"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+SQL_TURN_EXACT_DEDUP = f"""
+SELECT text, count(*) AS n_copies,
+       min(conv_id || '#' || CAST(turn_idx AS VARCHAR)) AS keeper
+FROM {T_SQL} GROUP BY text HAVING count(*) > 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Documents: near-dup detection + text analysis
+# ---------------------------------------------------------------------------
+
+def _doc_shingles(df: DataFrame) -> DataFrame:
+    tk = F.split(F.col("text"), " ")
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.lit(1), F.size(tk) - 2)),
+        lambda i: F.concat_ws(
+            " ", F.element_at(tk, i), F.element_at(tk, i + 1), F.element_at(tk, i + 2)
+        ),
+    )
+    return df.withColumn("sg", F.array_distinct(sh))
+
+
+_DOC_SHINGLES_SQL = """
+sh AS (
+  SELECT doc_id,
+    list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                   for i in range(1, greatest(1, len(tk)-2) + 1)]) AS sg
+  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+)
+"""
+
+
+def q_doc_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs over 3-word shingles, exact-verified at
+    Jaccard >= 0.5. LSH (32 bands × 1 row) misses a 0.5-Jaccard pair with
+    probability (1-0.5)^32 ≈ 2e-10, so the output equals the brute-force
+    oracle while staying subquadratic at scale."""
+    docs = _tbl(spark, sf_dir, "documents")
+    sh = _doc_shingles(docs).select(
+        F.col("doc_id").cast("string").alias("rid"), "sg"
+    )
+    mh = make_minhash_udf(num_hashes=32, shingle_width=1)
+    sig = sh.select("rid", mh(F.col("sg")).alias("minhash"))
+    cand = lsh_band_pairs(sig, bands=32, rows_per_band=1)
+    a = sh.select(F.col("rid").alias("a_rid"), F.col("sg").alias("a_sg"))
+    b = sh.select(F.col("rid").alias("b_rid"), F.col("sg").alias("b_sg"))
+    verified = (
+        cand.join(a, "a_rid")
+        .join(b, "b_rid")
+        .withColumn("sim", token_set_jaccard(F.col("a_sg"), F.col("b_sg")))
+        .filter(F.col("sim") >= 0.5)
+    )
+    # rid is a string (lexicographic pair order) — renormalize numerically
+    # so (a_doc, b_doc) matches the oracle's doc_id < doc_id convention.
+    an, bn = F.col("a_rid").cast("long"), F.col("b_rid").cast("long")
+    return verified.select(
+        F.least(an, bn).alias("a_doc"),
+        F.greatest(an, bn).alias("b_doc"),
+        sim_e6(F.col("sim")).alias("sim_e6"),
+    )
+
+
+SQL_DOC_NEARDUP = f"""
+WITH {_DOC_SHINGLES_SQL}
+SELECT a.doc_id AS a_doc, b.doc_id AS b_doc,
+  {sqlgen.sim_e6_sql(sqlgen.token_jaccard_sql('a.sg', 'b.sg'))} AS sim_e6
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE {sqlgen.token_jaccard_sql('a.sg', 'b.sg')} >= 0.5
+"""
+
+
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting / doc statistics (training-data text analysis)."""
+    docs = _tbl(spark, sf_dir, "documents")
+    tk = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(tk).alias("n_tokens"),
+        F.size(F.array_distinct(tk)).alias("n_distinct_tokens"),
+        F.length("text").alias("n_chars_text"),
+    )
+
+
+SQL_DOC_STATS = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+       len(text) AS n_chars_text
+FROM documents
+"""
+
+
+_STOPWORDS = ["a", "the", "of", "and", "to"]
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: type-token ratio, stopword ratio, mean token length
+    (integer-millionth outputs for engine-exact comparison)."""
+    docs = _tbl(spark, sf_dir, "documents")
+    tk = F.split(F.col("text"), " ")
+    n = F.size(tk)
+    n_stop = F.size(F.filter(tk, lambda t: t.isin(_STOPWORDS)))
+    total_len = F.aggregate(tk, F.lit(0), lambda acc, t: acc + F.length(t))
+    return docs.select(
+        "doc_id",
+        sim_e6(F.size(F.array_distinct(tk)).cast("double") / n.cast("double")).alias("ttr_e6"),
+        sim_e6(n_stop.cast("double") / n.cast("double")).alias("stopword_ratio_e6"),
+        sim_e6(total_len.cast("double") / n.cast("double")).alias("mean_token_len_e6"),
+    )
+
+
+_SW_LIST = "['" + "','".join(_STOPWORDS) + "']"
+SQL_DOC_QUALITY = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+SELECT doc_id,
+  {sqlgen.sim_e6_sql('CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk)')} AS ttr_e6,
+  {sqlgen.sim_e6_sql(f'CAST(len(list_filter(tk, x -> list_contains({_SW_LIST}, x))) AS DOUBLE) / len(tk)')} AS stopword_ratio_e6,
+  {sqlgen.sim_e6_sql('CAST(list_sum([len(x) for x in tk]) AS DOUBLE) / len(tk)')} AS mean_token_len_e6
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# Events: sessionization + windows
+# ---------------------------------------------------------------------------
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessionization per user over the events stream table."""
+    ev = _tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gapped = ev.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "new_sess",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (F.col("ts") - F.col("prev_ts") > F.expr("INTERVAL 1800 SECOND")),
+            1,
+        ).otherwise(0),
+    )
+    sess = gapped.withColumn(
+        "session_idx", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+SQL_EVENTS_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+  FROM g
+)
+SELECT user_id, session_idx, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM s GROUP BY user_id, session_idx
+"""
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event_type: counts + exact value sums
+    (element-wise decimal cast → order-independent sums → double)."""
+    ev = _tbl(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("sum_value"),
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Relational census (TPC-H-ish): agg, join, anti-join, top-k
+# ---------------------------------------------------------------------------
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _tbl(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(14,2)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_base_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + agg + deterministic top-10 (broadcast dim join)."""
+    orders = _tbl(spark, sf_dir, "orders")
+    cust = _tbl(spark, sf_dir, "customer")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double").alias("revenue"),
+        F.count("*").alias("n_orders"),
+    )
+    joined = rev.join(F.broadcast(cust), rev.o_custkey == cust.c_custkey)
+    return (
+        joined.select("c_custkey", "c_name", "revenue", "n_orders")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(10)
+    )
+
+
+SQL_TOP_CUSTOMERS = """
+SELECT c_custkey, c_name,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey ASC LIMIT 10
+"""
+
+
+def q_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join idiom (replaces the reference's leftOuterJoin+null-check,
+    ``TypeGroupBy.java:51-60``)."""
+    orders = _tbl(spark, sf_dir, "orders")
+    cust = _tbl(spark, sf_dir, "customer")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+SQL_CUSTOMERS_NO_ORDERS = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+def q_convs_without_tool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join with non-trivial output: conversations that never call a
+    tool (left_anti replaces the reference's leftOuterJoin+isNull idiom)."""
+    t = _t(spark, sf_dir)
+    tool_convs = t.filter(F.col("role") == "tool").select("conv_id").distinct()
+    return (
+        t.select("conv_id")
+        .distinct()
+        .join(tool_convs, "conv_id", "left_anti")
+    )
+
+
+SQL_CONVS_WITHOUT_TOOL = f"""
+SELECT DISTINCT conv_id FROM {T_SQL}
+WHERE conv_id NOT IN (SELECT conv_id FROM {T_SQL} WHERE role = 'tool')
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embeddings: ANN top-k (quantized-exact cosine)
+# ---------------------------------------------------------------------------
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for query vectors (vec_id < 10).
+
+    Embeddings are quantized to integer ten-thousandths first, making dot
+    products exact integers → deterministic doubles → engine-exact ranks.
+    """
+    emb = _tbl(spark, sf_dir, "embeddings")
+    qexpr = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 10000.0 + 0.5).cast("long"),
+    )
+    base = emb.select(F.col("vec_id"), qexpr.alias("q"))
+    norm = F.aggregate(
+        F.zip_with(F.col("q"), F.col("q"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    base = base.withColumn("n2", norm)
+    queries = base.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("q").alias("qv"), F.col("n2").alias("qn")
+    )
+    joined = base.crossJoin(F.broadcast(queries)).filter(F.col("vec_id") != F.col("q_id"))
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("q"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sim = dot.cast("double") / (
+        F.sqrt(F.col("qn").cast("double")) * F.sqrt(F.col("n2").cast("double"))
+    )
+    scored = joined.withColumn("sim", sim)
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", F.col("vec_id").alias("nn_id"), "rank", sim_e6(F.col("sim")).alias("sim_e6"))
+    )
+
+
+SQL_ANN_TOPK = f"""
+WITH q0 AS (
+  SELECT vec_id,
+    [CAST(floor(CAST(x AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) for x in embedding] AS q
+  FROM embeddings
+),
+base AS (
+  SELECT vec_id, q, list_sum([x * x for x in q]) AS n2 FROM q0
+),
+queries AS (SELECT vec_id AS q_id, q AS qv, n2 AS qn FROM base WHERE vec_id < 10),
+scored AS (
+  SELECT b.vec_id, q.q_id,
+    CAST(list_sum([q.qv[i] * b.q[i] for i in range(1, len(b.q) + 1)]) AS DOUBLE)
+      / (sqrt(CAST(q.qn AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS sim
+  FROM base b CROSS JOIN queries q
+  WHERE b.vec_id <> q.q_id
+),
+ranked AS (
+  SELECT q_id, vec_id, sim,
+    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id AS nn_id, rank, {sqlgen.sim_e6_sql('sim')} AS sim_e6
+FROM ranked WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Driver contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return dedup_conversations(_t(spark, "/root/testdata/sf0.001"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "conv_records": q_conv_records,
+        "conv_blocking_keys": q_conv_blocking_keys,
+        "conv_candidate_pairs": q_conv_candidate_pairs,
+        "conv_pair_jaccard": q_conv_pair_jaccard,
+        "conv_pair_trigram": q_conv_pair_trigram,
+        "conv_max_both": q_conv_max_both,
+        "conv_dedup_blocked": q_conv_dedup_blocked,
+        "conv_dedup_full": q_conv_dedup_full,
+        "conv_representatives": q_conv_representatives,
+        "conv_sessions": q_conv_sessions,
+        "conv_role_hourly": q_conv_role_hourly,
+        "turn_exact_dedup": q_turn_exact_dedup,
+        "doc_neardup": q_doc_neardup,
+        "doc_stats": q_doc_stats,
+        "doc_quality": q_doc_quality,
+        "events_sessionize": q_events_sessionize,
+        "events_hourly": q_events_hourly,
+        "tpch_q1": q_tpch_q1,
+        "top_customers": q_top_customers,
+        "customers_no_orders": q_customers_no_orders,
+        "convs_without_tool": q_convs_without_tool,
+        "ann_topk": q_ann_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "conv_records": SQL_CONV_RECORDS,
+        "conv_blocking_keys": SQL_CONV_BLOCKING_KEYS,
+        "conv_candidate_pairs": SQL_CONV_CANDIDATE_PAIRS,
+        "conv_pair_jaccard": SQL_CONV_PAIR_JACCARD,
+        "conv_pair_trigram": SQL_CONV_PAIR_TRIGRAM,
+        "conv_max_both": SQL_CONV_MAX_BOTH,
+        "conv_dedup_blocked": SQL_CONV_DEDUP_BLOCKED,
+        # conv_dedup_full: LSH banding not SQL-expressible → rows-only check.
+        "conv_representatives": SQL_CONV_REPRESENTATIVES,
+        "conv_sessions": SQL_CONV_SESSIONS,
+        "conv_role_hourly": SQL_CONV_ROLE_HOURLY,
+        "turn_exact_dedup": SQL_TURN_EXACT_DEDUP,
+        "doc_neardup": SQL_DOC_NEARDUP,
+        "doc_stats": SQL_DOC_STATS,
+        "doc_quality": SQL_DOC_QUALITY,
+        "events_sessionize": SQL_EVENTS_SESSIONIZE,
+        "events_hourly": SQL_EVENTS_HOURLY,
+        "tpch_q1": SQL_TPCH_Q1,
+        "top_customers": SQL_TOP_CUSTOMERS,
+        "customers_no_orders": SQL_CUSTOMERS_NO_ORDERS,
+        "convs_without_tool": SQL_CONVS_WITHOUT_TOOL,
+        "ann_topk": SQL_ANN_TOPK,
+    }

@@ -123,10 +123,11 @@ def make_simhash_udf(seed: int = 42):
                 out[i] = 0
                 continue
             votes = np.zeros(64, dtype=np.int64)
+            shifts = np.arange(64, dtype=np.uint64)
             for t in toks:
                 bs = t.encode("utf-8")
-                h = (zlib.crc32(bs) << 32) | zlib.crc32(bs + b"#")
-                bits = (h >> np.arange(64)) & 1
+                h = np.uint64((zlib.crc32(bs) << 32) | zlib.crc32(bs + b"#"))
+                bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
                 votes += 2 * bits - 1
             fp = 0
             for bit in np.nonzero(votes > 0)[0]:

@@ -1,0 +1,311 @@
+"""Structured Streaming incremental entity-matching + clustering job.
+
+This is the streaming re-expression of the reference's incremental loop
+(``benchmark/musicbrainz/IncrementalMusicBenchmark.java:93-189``: save
+clusters to JSON, start a new Flink job per source increment, re-match, save
+again). Micro-batches + versioned state tables + Spark checkpointing replace
+the save-to-JSON-and-reload cycle (SURVEY.md §3.2).
+
+Algorithm per micro-batch (``foreachBatch``):
+
+1. upsert new turns into ``turns`` state, keyed ``(conv_id, turn_idx)``
+2. A = conversations touched by this batch
+3. rebuild conversation records for A only; upsert into ``records`` /
+   ``bands`` (MinHash band index) state
+4. candidate pairs touching A = prefix-block join ∪ LSH-band join against
+   the *current* index (the reference's SOURCE_ADDITION step,
+   ``SourceAdditionClustering.java:62-191``)
+5. verify with token-set Jaccard >= threshold → new edges; **replace** all
+   edges incident to A (a changed conversation re-derives its whole edge
+   set, so the final edge set equals the batch pipeline's on final records)
+6. incremental connected components with *dirty-component recompute*: only
+   components containing an affected node are re-solved; untouched
+   components are carried over unchanged — deletions (an edge that no
+   longer clears the threshold) are handled correctly because every removed
+   edge touches A and therefore lives in a dirty component
+7. emit ``(conv_id, cluster_id)`` upserts through the exactly-once keyed
+   sink
+
+Every state commit is idempotent per ``batch_id`` (atomic rename; replayed
+batches skip), so a job killed at any point resumes from the Spark
+checkpoint and produces the identical final table — verified by
+``tests/test_streaming_parity.py`` against the batch oracle.
+
+Invariant (BASELINE.json north_rule): for the same input stream + watermark
+the final sink equals the batch pipeline row-for-row under stable
+``(conv_id, turn_idx)`` ordering.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from mapping_analysis_spark.functions.simfns import make_minhash_udf
+from mapping_analysis_spark.functions.text import (
+    blocking_key,
+    distinct_tokens,
+    token_set_jaccard,
+)
+from mapping_analysis_spark.operators.clustering import connected_components
+from mapping_analysis_spark.pipeline import (
+    DEFAULT_BLOCK_LENGTH,
+    DEFAULT_LSH_BANDS,
+    DEFAULT_THRESHOLD,
+    conversation_records,
+)
+from mapping_analysis_spark.streaming.sinks import SnapshotStateTable
+
+TRANSCRIPT_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("role", StringType()),
+        StructField("text", StringType()),
+        StructField("tool", StringType()),
+        StructField("ts", TimestampType()),
+    ]
+)
+
+
+class IncrementalClusteringJob:
+    """Stateful incremental matcher/clusterer driven by foreachBatch."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        threshold: float = DEFAULT_THRESHOLD,
+        block_length: int = DEFAULT_BLOCK_LENGTH,
+        lsh_bands: int = DEFAULT_LSH_BANDS,
+    ) -> None:
+        self.spark = spark
+        self.threshold = threshold
+        self.block_length = block_length
+        self.lsh_bands = lsh_bands
+        self.turns = SnapshotStateTable(spark, state_dir, "turns")
+        self.records = SnapshotStateTable(spark, state_dir, "records")
+        self.bands = SnapshotStateTable(spark, state_dir, "bands")
+        self.edges = SnapshotStateTable(spark, state_dir, "edges")
+        self.comps = SnapshotStateTable(spark, state_dir, "comps")
+        self.assignments = SnapshotStateTable(spark, state_dir, "assignments")
+        self.metrics_path = os.path.join(state_dir, "metrics.jsonl")
+        self._minhash = make_minhash_udf(num_hashes=lsh_bands, shingle_width=1)
+
+    # -- per-batch kernel ---------------------------------------------------
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        t0 = time.time()
+        if self.assignments.committed(batch_id):
+            self._log(batch_id, 0, t0, replayed=True)
+            return  # exactly-once: replay after restart is a no-op
+
+        # per-partition lineage: physical files feeding this micro-batch
+        input_files = [
+            r[0]
+            for r in batch_df.select(F.input_file_name()).distinct().limit(20).collect()
+            if r[0]
+        ]
+        batch_df = batch_df.dropDuplicates(["conv_id", "turn_idx"]).localCheckpoint(
+            eager=True
+        )
+        n_rows = batch_df.count()
+        if n_rows == 0:
+            # still commit empty versions so replay detection stays monotonic
+            for st in (self.turns, self.records, self.bands, self.edges, self.comps,
+                       self.assignments):
+                cur = st.read()
+                if cur is not None:
+                    st.commit(cur, batch_id)
+            self._log(batch_id, 0, t0)
+            return
+
+        # 1-2. turn state + affected conversations
+        turns = self.turns.upsert(batch_df, ["conv_id", "turn_idx"], batch_id)
+        affected = batch_df.select("conv_id").distinct()
+
+        # 3. re-derive records for affected conversations only
+        recs_a = conversation_records(
+            turns.join(F.broadcast(affected), "conv_id", "left_semi")
+        )
+        recs_a = recs_a.withColumn(
+            "block_key", blocking_key(F.col("label"), self.block_length)
+        ).withColumn("toks", distinct_tokens(F.col("doc")))
+        recs_a = recs_a.select("rid", "source", "block_key", "toks").localCheckpoint(
+            eager=True
+        )
+        records = self.records.upsert(recs_a, ["rid"], batch_id)
+
+        bands_a = recs_a.select(
+            "rid",
+            F.posexplode(
+                F.transform(
+                    self._minhash(F.col("toks")), lambda h: F.xxhash64(h.cast("string"))
+                )
+            ).alias("band_idx", "band_hash"),
+        )
+        bands = self.bands.upsert(bands_a, ["rid", "band_idx"], batch_id)
+
+        # 4. candidates touching A (prefix blocks ∪ LSH bands, vs full index)
+        a_ids = recs_a.select(F.col("rid").alias("x"))
+        blk = records.select("rid", "block_key")
+        p_block = (
+            blk.join(F.broadcast(a_ids.withColumnRenamed("x", "rid")), "rid", "left_semi")
+            .alias("a")
+            .join(blk.alias("b"), F.col("a.block_key") == F.col("b.block_key"))
+            .filter(F.col("a.rid") != F.col("b.rid"))
+            .select(
+                F.least("a.rid", "b.rid").alias("a_rid"),
+                F.greatest("a.rid", "b.rid").alias("b_rid"),
+            )
+        )
+        bb = bands
+        p_band = (
+            bands_a.alias("a")
+            .join(
+                bb.alias("b"),
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_hash") == F.col("b.band_hash")),
+            )
+            .filter(F.col("a.rid") != F.col("b.rid"))
+            .select(
+                F.least("a.rid", "b.rid").alias("a_rid"),
+                F.greatest("a.rid", "b.rid").alias("b_rid"),
+            )
+        )
+        cand = p_block.union(p_band).dropDuplicates(["a_rid", "b_rid"])
+
+        # 5. verify + replace edges incident to A
+        ra = records.select(
+            F.col("rid").alias("a_rid"),
+            F.col("source").alias("a_source"),
+            F.col("toks").alias("a_toks"),
+        )
+        rb = records.select(
+            F.col("rid").alias("b_rid"),
+            F.col("source").alias("b_source"),
+            F.col("toks").alias("b_toks"),
+        )
+        e_new = (
+            cand.join(ra, "a_rid")
+            .join(rb, "b_rid")
+            .filter(F.col("a_source") != F.col("b_source"))
+            .withColumn("sim", token_set_jaccard(F.col("a_toks"), F.col("b_toks")))
+            .filter(F.col("sim") >= F.lit(self.threshold))
+            .select(F.col("a_rid").alias("a"), F.col("b_rid").alias("b"))
+        )
+        old_edges = self.edges.read()
+        if old_edges is not None:
+            e_keep = old_edges.join(
+                F.broadcast(a_ids), (old_edges.a == F.col("x")) | (old_edges.b == F.col("x")), "left_anti"
+            )
+            edges_all = e_keep.union(e_new).dropDuplicates(["a", "b"])
+        else:
+            edges_all = e_new.dropDuplicates(["a", "b"])
+        edges_all = edges_all.localCheckpoint(eager=True)
+        self.edges.commit(edges_all, batch_id)
+
+        # 6. dirty-component recompute
+        old_comps = self.comps.read()
+        dirty_nodes = (
+            affected.withColumnRenamed("conv_id", "node")
+            .union(e_new.select(F.col("a").alias("node")))
+            .union(e_new.select(F.col("b").alias("node")))
+            .distinct()
+        )
+        if old_comps is not None:
+            dirty_comp_ids = (
+                old_comps.join(dirty_nodes, "node", "left_semi")
+                .select("comp")
+                .distinct()
+            )
+            clean = old_comps.join(dirty_comp_ids, "comp", "left_anti")
+            dirty_members = old_comps.join(dirty_comp_ids, "comp", "left_semi").select(
+                "node"
+            )
+        else:
+            clean = None
+            dirty_members = self.spark.createDataFrame([], "node string")
+        scope = dirty_members.union(dirty_nodes.select("node")).distinct()
+        sub_edges = (
+            edges_all.join(scope.withColumnRenamed("node", "a"), "a", "left_semi")
+            .union(edges_all.join(scope.withColumnRenamed("node", "b"), "b", "left_semi"))
+            .dropDuplicates(["a", "b"])
+        )
+        recomputed = connected_components(sub_edges)
+        # nodes in scope with no edges → singleton components
+        singles = scope.join(
+            recomputed.select("node"), "node", "left_anti"
+        ).withColumn("comp", F.col("node"))
+        new_part = recomputed.union(singles)
+        comps_all = new_part if clean is None else clean.unionByName(new_part)
+        comps_all = comps_all.localCheckpoint(eager=True)
+        self.comps.commit(comps_all, batch_id)
+
+        # 7. exactly-once assignment upsert for the recomputed scope
+        updates = new_part.select(
+            F.col("node").alias("conv_id"), F.col("comp").alias("cluster_id")
+        )
+        self.assignments.upsert(updates, ["conv_id"], batch_id)
+        for st in (self.turns, self.records, self.bands, self.edges, self.comps,
+                   self.assignments):
+            st.prune(keep_last=3)
+        self._log(batch_id, n_rows, t0, input_files=input_files)
+
+    # -- metrics (north rule: per-partition lineage + throughput per batch) --
+
+    def _log(self, batch_id: int, n_rows: int, t0: float, replayed: bool = False,
+             input_files: list[str] | None = None) -> None:
+        dur = time.time() - t0
+        rec = {
+            "batch_id": batch_id,
+            "rows": n_rows,
+            "seconds": round(dur, 3),
+            "rows_per_sec": round(n_rows / dur, 1) if dur > 0 else None,
+            "replayed": replayed,
+            "state_rows": {
+                name: (st.read().count() if st.read() is not None else 0)
+                for name, st in [("edges", self.edges), ("comps", self.comps)]
+            },
+            "lineage_files": (input_files or [])[:20],
+        }
+        with open(self.metrics_path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+    # -- stream wiring --------------------------------------------------------
+
+    def start(
+        self,
+        input_dir: str,
+        checkpoint_dir: str,
+        max_files_per_trigger: int = 1,
+        watermark: str = "1 hour",
+    ):
+        """Wire the file stream (Iceberg-source stand-in) to the batch kernel."""
+        stream = (
+            self.spark.readStream.schema(TRANSCRIPT_SCHEMA)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(input_dir)
+            .withWatermark("ts", watermark)
+        )
+        return (
+            stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def result(self) -> DataFrame | None:
+        """Final (conv_id, cluster_id) assignment table."""
+        return self.assignments.read()

@@ -1,0 +1,142 @@
+"""Unit tests for text/sim kernels, incl. Spark↔DuckDB fragment parity
+(the engine's oracle depends on these being bit-identical)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from mapping_analysis_spark.functions import sqlgen
+from mapping_analysis_spark.functions.simfns import (
+    make_minhash_udf,
+    make_simhash_udf,
+    trigram_cosine,
+)
+from mapping_analysis_spark.functions.text import (
+    blocking_key,
+    normalize_text,
+    sim_e6,
+    token_set_jaccard,
+    tokens,
+)
+
+SAMPLES = [
+    "Hello, World!",
+    "THE  Quick   brown fox!!",
+    "the lazy dog",
+    "a",
+    "",
+    "123 abc !@# def",
+    "ümlaut Ünïcode",
+    "x" * 300,
+    "the ",
+    "  padded  ",
+]
+
+
+@pytest.fixture(scope="module")
+def sample_df(spark):
+    return spark.createDataFrame([(s,) for s in SAMPLES], ["s"])
+
+
+def _duck(expr_sql: str):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(s,) for s in SAMPLES])
+    return [r[0] for r in con.execute(f"SELECT {expr_sql} FROM t").fetchall()]
+
+
+def test_normalize_parity(spark, sample_df):
+    got = [r[0] for r in sample_df.select(normalize_text(F.col("s"))).collect()]
+    want = _duck(sqlgen.norm_sql("s"))
+    assert got == want
+
+
+def test_blocking_key_parity(spark, sample_df):
+    got = [r[0] for r in sample_df.select(blocking_key(F.col("s"))).collect()]
+    want = _duck(sqlgen.blocking_key_sql("s"))
+    assert got == want
+    # reference semantics: 4 chars, '#'-padded, leading "the " stripped
+    assert dict(zip(SAMPLES, got))["the lazy dog"] == "lazy"
+    assert dict(zip(SAMPLES, got))[""] == "####"
+    assert dict(zip(SAMPLES, got))["a"] == "a###"
+
+
+def test_tokens_parity(spark, sample_df):
+    got = [list(r[0]) for r in sample_df.select(tokens(F.col("s"))).collect()]
+    want = _duck(sqlgen.tokens_sql("s"))
+    assert got == [list(w) for w in want]
+
+
+def test_trigram_cosine_known_values(spark):
+    # identical strings → 1.0; disjoint → 0.0; hand-computed small case
+    df = spark.createDataFrame(
+        [("abc", "abc"), ("abc", "xyz"), ("ab", "ab"), ("", "abc"), (None, "x")],
+        ["a", "b"],
+    )
+    got = [r[0] for r in df.select(trigram_cosine("a", "b")).collect()]
+    assert got[0] == pytest.approx(1.0)
+    assert got[1] == 0.0
+    assert got[2] == pytest.approx(1.0)
+    assert got[4] == 0.0
+
+
+def test_trigram_cosine_multiset(spark):
+    # 'aaaa' padded: ##aaaa## → trigram 'aaa' appears twice → multiset math
+    df = spark.createDataFrame([("aaaa", "aa")], ["a", "b"])
+    got = df.select(trigram_cosine("a", "b")).collect()[0][0]
+    # a: ##a #aa aaa aaa aa# a## ; b: ##a #aa aa# a##
+    # dot = 4, |a|² = 4+2² = 8? → counts a: {##a:1,#aa:1,aaa:2,aa#:1,a##:1} → na=1+1+4+1+1=8
+    # nb = 4 → cos = 4/sqrt(32) = 0.70710678...
+    assert got == pytest.approx(4 / (32 ** 0.5))
+
+
+def test_sim_e6_floor_half_up(spark):
+    df = spark.createDataFrame([(0.1234565,), (0.9999999,), (0.0,)], ["x"])
+    got = [r[0] for r in df.select(sim_e6(F.col("x"))).collect()]
+    assert got == [123457, 1000000, 0]
+
+
+def test_minhash_deterministic_across_udf_instances(spark):
+    df = spark.createDataFrame([(["a", "b", "c"],), (["x"],), ([],)], ["t"])
+    u1 = make_minhash_udf(num_hashes=8)
+    u2 = make_minhash_udf(num_hashes=8)  # fresh instance, same seed
+    s1 = [r[0] for r in df.select(u1(F.col("t"))).collect()]
+    s2 = [r[0] for r in df.select(u2(F.col("t"))).collect()]
+    assert s1 == s2
+    assert len(s1[0]) == 8
+    assert s1[2] == [0] * 8  # empty tokens → zero signature
+
+
+def test_minhash_similarity_correlates(spark):
+    """Signature agreement rate approximates Jaccard."""
+    a = [f"tok{i}" for i in range(100)]
+    b = a[:70] + [f"other{i}" for i in range(30)]  # jaccard ≈ 70/130 ≈ 0.54
+    df = spark.createDataFrame([(a,), (b,)], ["t"])
+    u = make_minhash_udf(num_hashes=128)
+    s1, s2 = [r[0] for r in df.select(u(F.col("t"))).collect()]
+    agree = sum(x == y for x, y in zip(s1, s2)) / 128
+    assert 0.35 <= agree <= 0.75
+
+
+def test_simhash_near_duplicates_close(spark):
+    a = [f"tok{i}" for i in range(64)]
+    b = a[:60] + ["x1", "x2", "x3", "x4"]
+    c = [f"zzz{i}" for i in range(64)]
+    df = spark.createDataFrame([(a,), (b,), (c,)], ["t"])
+    u = make_simhash_udf()
+    h = [r[0] for r in df.select(u(F.col("t"))).collect()]
+    def ham(x, y):
+        return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+    assert ham(h[0], h[1]) < ham(h[0], h[2])
+    assert ham(h[0], h[1]) <= 16
+
+
+def test_token_jaccard_values(spark):
+    df = spark.createDataFrame(
+        [(["a", "b"], ["b", "c"]), (["a"], ["a"]), ([], [])],
+        ["x", "y"],
+    )
+    got = [r[0] for r in df.select(token_set_jaccard(F.col("x"), F.col("y"))).collect()]
+    assert got == [pytest.approx(1 / 3), 1.0, 0.0]

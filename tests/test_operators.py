@@ -1,0 +1,183 @@
+"""Operator unit tests with exact asserts (the reference's test style:
+hand-checked fixtures, exact counts/values — SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapping_analysis_spark.operators.blocking import (
+    block_pairs,
+    lsh_band_pairs,
+    salted_block_pairs,
+    top_rank_per_group,
+)
+from mapping_analysis_spark.operators.clustering import (
+    connected_components,
+    greedy_merge,
+    large_star_small_star,
+    representatives,
+)
+from mapping_analysis_spark.operators.matching import _hungarian, hungarian_matches, max_both
+
+import numpy as np
+
+
+@pytest.fixture(scope="module")
+def records(spark):
+    rows = [
+        ("r1", 1, "blk1"),
+        ("r2", 2, "blk1"),
+        ("r3", 3, "blk1"),
+        ("r4", 1, "blk1"),  # same source as r1 → never paired with r1
+        ("r5", 1, "blk2"),
+        ("r6", 2, "blk2"),
+        ("r7", 1, "blk3"),  # alone in its block → no pairs
+    ]
+    return spark.createDataFrame(rows, ["rid", "source", "block_key"])
+
+
+def _pairset(df):
+    return {(r["a_rid"], r["b_rid"]) for r in df.collect()}
+
+
+EXPECTED_PAIRS = {
+    ("r1", "r2"), ("r1", "r3"), ("r2", "r3"), ("r2", "r4"), ("r3", "r4"),
+    ("r5", "r6"),
+}
+
+
+def test_block_pairs_exact(spark, records):
+    assert _pairset(block_pairs(records)) == EXPECTED_PAIRS
+
+
+@pytest.mark.parametrize("cap", [1, 2, 100])
+def test_salted_block_pairs_equal_plain(spark, records, cap):
+    """Salting must never change the pair set, for any split factor."""
+    assert _pairset(salted_block_pairs(records, cap=cap)) == EXPECTED_PAIRS
+
+
+def test_connected_components_min_id(spark):
+    edges = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("x", "y"), ("y", "z")], ["a", "b"]
+    )
+    comp = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
+    assert comp == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "z": "x"}
+
+
+def test_large_star_small_star_matches_label_prop(spark):
+    import random
+
+    rnd = random.Random(7)
+    edges = [(f"n{rnd.randrange(40)}", f"n{rnd.randrange(40)}") for _ in range(60)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, ["a", "b"])
+    c1 = {r["node"]: r["comp"] for r in connected_components(df).collect()}
+    c2 = {r["node"]: r["comp"] for r in large_star_small_star(df).collect()}
+    assert c1 == c2
+
+
+def test_max_both_mutual_best(spark):
+    # r1's best is r2 (0.9) and r2's best is r1 → kept.
+    # r3's best is r2 (0.8) but r2's best is r1 → dropped.
+    pairs = spark.createDataFrame(
+        [("r1", "r2", 0.9), ("r3", "r2", 0.8), ("r3", "r4", 0.5), ("r4", "r3", 0.5)],
+        ["a_rid", "b_rid", "sim"],
+    )
+    got = {(r["a_rid"], r["b_rid"]) for r in max_both(pairs).collect()}
+    assert ("r1", "r2") in got
+    assert ("r3", "r2") not in got
+
+
+def test_hungarian_algorithm_optimal():
+    cost = np.array([[4.0, 1.0, 3.0], [2.0, 0.0, 5.0], [3.0, 2.0, 2.0]])
+    matches = dict(_hungarian(cost))
+    total = sum(cost[i, j] for i, j in matches.items())
+    assert total == 5.0  # known optimum for this classic matrix
+
+
+def test_hungarian_matches_operator(spark):
+    pairs = spark.createDataFrame(
+        [
+            ("blk", "a1", "b1", 0.9),
+            ("blk", "a1", "b2", 0.8),
+            ("blk", "a2", "b1", 0.85),
+            ("blk", "a2", "b2", 0.2),
+        ],
+        ["block", "a_rid", "b_rid", "sim"],
+    )
+    got = {(r["a_rid"], r["b_rid"]) for r in hungarian_matches(pairs).collect()}
+    # optimal total: a1-b2 (0.8) + a2-b1 (0.85) = 1.65 > a1-b1 + a2-b2 = 1.1
+    assert got == {("a1", "b2"), ("a2", "b1")}
+
+
+def test_greedy_merge_source_restrictions(spark):
+    """Pair mergeable iff no source overlap and combined count <= max
+    (CheckRestrictionsFilterFunction.java:48-52 semantics)."""
+    pairs = spark.createDataFrame(
+        [
+            ("blk", "c1", "c2", 0.95, 1, 2),   # masks 1 & 2 → mergeable
+            ("blk", "c1", "c3", 0.90, 1, 1),   # overlap → never merged
+            ("blk", "c2", "c4", 0.85, 2, 4),   # c2 gone after merge → re-pointed
+        ],
+        ["block", "a_rid", "b_rid", "sim", "a_smask", "b_smask"],
+    )
+    got = {(r["rid"], r["cluster_rid"]) for r in greedy_merge(
+        pairs, a_sources="a_smask", b_sources="b_smask", threshold=0.8
+    ).collect()}
+    # c1+c2 merge first (0.95) → cluster c1 (min id); then c1(mask 3)+c4(mask 4)
+    # merge via the re-pointed 0.85 edge → all of c1,c2,c4 → c1; c3 stays.
+    assert got == {("c1", "c1"), ("c2", "c1"), ("c4", "c1"), ("c3", "c3")}
+
+
+def test_greedy_merge_max_sources_cap(spark):
+    pairs = spark.createDataFrame(
+        [("blk", "c1", "c2", 0.99, 1, 2), ("blk", "c2", "c3", 0.98, 2, 4)],
+        ["block", "a_rid", "b_rid", "sim", "a_smask", "b_smask"],
+    )
+    got = {(r["rid"], r["cluster_rid"]) for r in greedy_merge(
+        pairs, a_sources="a_smask", b_sources="b_smask",
+        threshold=0.9, max_sources=2,
+    ).collect()}
+    # c1+c2 merge (2 sources). c1c2+c3 would be 3 sources > cap → blocked.
+    assert got == {("c1", "c1"), ("c2", "c1"), ("c3", "c3")}
+
+
+def test_representatives_majority_and_ties(spark):
+    assign = spark.createDataFrame(
+        [("cv1", "k"), ("cv2", "k"), ("cv3", "k")], ["conv_id", "cluster_id"]
+    )
+    turns = spark.createDataFrame(
+        [
+            ("cv1", 0, "hello world"),
+            ("cv2", 0, "hello world"),
+            ("cv3", 0, "hello wrld"),   # minority → loses
+            ("cv1", 1, "aa"),
+            ("cv2", 1, "bbb"),          # tie on votes → longer wins
+            ("cv3", 1, "cc"),
+        ],
+        ["conv_id", "turn_idx", "text"],
+    )
+    got = {(r["turn_idx"], r["text"]) for r in representatives(assign, turns).collect()}
+    assert got == {(0, "hello world"), (1, "bbb")}
+
+
+def test_lsh_band_pairs_identical_docs_always_candidates(spark):
+    from mapping_analysis_spark.functions.simfns import make_minhash_udf
+
+    df = spark.createDataFrame(
+        [("d1", ["a", "b", "c"]), ("d2", ["a", "b", "c"]), ("d3", ["x", "y"])],
+        ["rid", "toks"],
+    )
+    u = make_minhash_udf(num_hashes=8)
+    sig = df.select("rid", u(F.col("toks")).alias("minhash"))
+    got = {(r["a_rid"], r["b_rid"]) for r in lsh_band_pairs(sig, bands=8).collect()}
+    assert ("d1", "d2") in got
+
+
+def test_top_rank_per_group(spark):
+    df = spark.createDataFrame(
+        [("g1", "x", 5), ("g1", "y", 9), ("g2", "z", 1)], ["g", "v", "n"]
+    )
+    got = {(r["g"], r["v"]) for r in top_rank_per_group(df, ["g"], [F.col("n").desc()]).collect()}
+    assert got == {("g1", "y"), ("g2", "z")}
