@@ -31,6 +31,7 @@ from mapping_analysis_spark.functions.text import (
 from mapping_analysis_spark.operators.blocking import lsh_band_pairs
 from mapping_analysis_spark.operators.clustering import connected_components
 from mapping_analysis_spark.pipeline import (
+    DEFAULT_MAX_BLOCK_SIZE,
     DEFAULT_THRESHOLD,
     conversation_records,
     dedup_conversations,
@@ -74,12 +75,16 @@ rec AS (
 
 _BLOCKED_PAIRS_SQL = f"""
 {_REC_SQL},
-blk AS (
+blk0 AS MATERIALIZED (
   SELECT rid, source, {sqlgen.blocking_key_sql('label')} AS block_key,
          list_distinct({sqlgen.tokens_sql('doc')}) AS toks, label
   FROM rec
 ),
-pairs AS (
+bsz AS (SELECT block_key, count(*) AS bn FROM blk0 GROUP BY block_key),
+blk AS (  -- stop-block pruning: oversized prefix blocks generate no pairs
+  SELECT blk0.* FROM blk0 JOIN bsz USING (block_key) WHERE bn <= {DEFAULT_MAX_BLOCK_SIZE}
+),
+pairs AS MATERIALIZED (
   SELECT a.block_key AS block_key, a.rid AS a_rid, b.rid AS b_rid,
          a.toks AS a_toks, b.toks AS b_toks, a.label AS a_label, b.label AS b_label
   FROM blk a JOIN blk b
@@ -106,6 +111,18 @@ SELECT rid, source, CAST(1 << source AS INT) AS smask, label, doc, n_turns FROM 
 """
 
 
+def _blocked_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation records + blocking key + token set, stop-blocks pruned
+    (blocks > DEFAULT_MAX_BLOCK_SIZE) — shared by every blocked-pair query;
+    mirrors the ``blk`` CTE of _BLOCKED_PAIRS_SQL exactly."""
+    rec = conversation_records(_t(spark, sf_dir))
+    rec = rec.withColumn("block_key", blocking_key(F.col("label")))
+    rec = rec.withColumn("toks", distinct_tokens(F.col("doc")))
+    sizes = rec.groupBy("block_key").agg(F.count("*").alias("_bn"))
+    ok = sizes.filter(F.col("_bn") <= DEFAULT_MAX_BLOCK_SIZE).select("block_key")
+    return rec.join(F.broadcast(ok), "block_key", "left_semi")
+
+
 def q_conv_blocking_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     rec = conversation_records(_t(spark, sf_dir))
     return rec.select("rid", blocking_key(F.col("label")).alias("block_key"))
@@ -121,10 +138,8 @@ def q_conv_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STANDARD_BLOCKING candidate pairs (cross-source, a<b) — salted path."""
     from mapping_analysis_spark.operators.blocking import salted_block_pairs
 
-    rec = conversation_records(_t(spark, sf_dir))
-    rec = rec.withColumn("block_key", blocking_key(F.col("label")))
-    slim = rec.select("rid", "source", "block_key")
-    return salted_block_pairs(slim, cap=256).select(
+    slim = _blocked_records(spark, sf_dir).select("rid", "source", "block_key")
+    return salted_block_pairs(slim, cap=64).select(
         F.col("a_block_key").alias("block_key"), "a_rid", "b_rid"
     )
 
@@ -139,9 +154,7 @@ def q_conv_pair_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-set Jaccard per blocked pair, as integer millionths."""
     from mapping_analysis_spark.operators.blocking import block_pairs
 
-    rec = conversation_records(_t(spark, sf_dir))
-    rec = rec.withColumn("block_key", blocking_key(F.col("label")))
-    rec = rec.withColumn("toks", distinct_tokens(F.col("doc")))
+    rec = _blocked_records(spark, sf_dir)
     pairs = block_pairs(rec.select("rid", "source", "block_key", "toks"))
     return pairs.select(
         "a_rid",
@@ -161,8 +174,7 @@ def q_conv_pair_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     of blocked pairs — multiset cosine over padded 3-grams."""
     from mapping_analysis_spark.operators.blocking import block_pairs
 
-    rec = conversation_records(_t(spark, sf_dir))
-    rec = rec.withColumn("block_key", blocking_key(F.col("label")))
+    rec = _blocked_records(spark, sf_dir)
     pairs = block_pairs(rec.select("rid", "source", "block_key", "label"))
     return pairs.select(
         "a_rid",
@@ -209,9 +221,7 @@ def q_conv_max_both(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapping_analysis_spark.operators.blocking import block_pairs
     from mapping_analysis_spark.operators.matching import max_both
 
-    rec = conversation_records(_t(spark, sf_dir))
-    rec = rec.withColumn("block_key", blocking_key(F.col("label")))
-    rec = rec.withColumn("toks", distinct_tokens(F.col("doc")))
+    rec = _blocked_records(spark, sf_dir)
     pairs = block_pairs(rec.select("rid", "source", "block_key", "toks"))
     scored = pairs.select(
         "a_rid", "b_rid", token_set_jaccard(F.col("a_toks"), F.col("b_toks")).alias("sim")
@@ -241,19 +251,18 @@ def q_conv_dedup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle replays the closure with a recursive CTE."""
     from mapping_analysis_spark.operators.blocking import block_pairs
 
-    t = _t(spark, sf_dir)
-    rec = conversation_records(t)
-    rec = rec.withColumn("block_key", blocking_key(F.col("label")))
-    rec = rec.withColumn("toks", distinct_tokens(F.col("doc")))
+    rec = _blocked_records(spark, sf_dir)
     pairs = block_pairs(rec.select("rid", "source", "block_key", "toks"))
     edges = (
         pairs.withColumn("sim", token_set_jaccard(F.col("a_toks"), F.col("b_toks")))
         .filter(F.col("sim") >= DEFAULT_THRESHOLD)
         .select(F.col("a_rid").alias("a"), F.col("b_rid").alias("b"))
+        .localCheckpoint(eager=True)
     )
     comp = connected_components(edges)
+    all_recs = conversation_records(_t(spark, sf_dir))
     assign = (
-        rec.select(F.col("rid").alias("conv_id"))
+        all_recs.select(F.col("rid").alias("conv_id"))
         .join(comp.withColumnRenamed("node", "conv_id"), "conv_id", "left")
         .withColumn("cluster_id", F.coalesce(F.col("comp"), F.col("conv_id")))
         .drop("comp")
@@ -264,10 +273,10 @@ def q_conv_dedup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_CONV_DEDUP_BLOCKED = f"""
 WITH RECURSIVE {_BLOCKED_PAIRS_SQL},
-edges AS (
+edges AS MATERIALIZED (
   SELECT a_rid AS a, b_rid AS b FROM pairs WHERE {_JACCARD} >= {DEFAULT_THRESHOLD}
 ),
-sym AS (SELECT a AS u, b AS v FROM edges UNION SELECT b, a FROM edges),
+sym AS MATERIALIZED (SELECT a AS u, b AS v FROM edges UNION SELECT b, a FROM edges),
 reach AS (
   SELECT u, v FROM sym
   UNION
@@ -306,10 +315,10 @@ def q_conv_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_CONV_REPRESENTATIVES = f"""
 WITH RECURSIVE {_BLOCKED_PAIRS_SQL},
-edges AS (
+edges AS MATERIALIZED (
   SELECT a_rid AS a, b_rid AS b FROM pairs WHERE {_JACCARD} >= {DEFAULT_THRESHOLD}
 ),
-sym AS (SELECT a AS u, b AS v FROM edges UNION SELECT b, a FROM edges),
+sym AS MATERIALIZED (SELECT a AS u, b AS v FROM edges UNION SELECT b, a FROM edges),
 reach AS (
   SELECT u, v FROM sym
   UNION

@@ -44,11 +44,22 @@ SEED = 42
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SYNTH_ROOT = os.path.join(_REPO_ROOT, "_synth")
 
-# Deterministic ~330-word vocabulary (syllable product — no external data).
-_SYLLABLES_A = ["ba", "ce", "di", "fo", "gu", "ha", "ke", "li", "mo", "nu", "pa"]
-_SYLLABLES_B = ["ra", "se", "ti", "vo", "wu", "ya", "ze", "la", "mi", "no"]
-_SYLLABLES_C = ["", "n", "r", "s"]
-VOCAB = [a + b + c for a in _SYLLABLES_A for b in _SYLLABLES_B for c in _SYLLABLES_C][:330]
+# Deterministic ~20k-word vocabulary with Zipfian sampling (heavy-tailed like
+# real text — no external data). A tiny flat vocab makes every document pair
+# spuriously similar, which no real transcript corpus exhibits.
+_SYL_A = ["ba", "ce", "di", "fo", "gu", "ha", "ke", "li", "mo", "nu", "pa", "qo", "ru", "sa", "te", "vi", "wo", "xu", "ya", "ze"]
+_SYL_B = ["ra", "se", "ti", "vo", "wu", "la", "mi", "no", "pe", "ki", "du", "fa", "go", "hu", "je", "ne", "ro", "su", "tu", "za"]
+_SYL_C = ["", "n", "r", "s", "m"]
+VOCAB = [a + b + c + d for a in _SYL_A for b in _SYL_B for c in _SYL_B[:10] for d in _SYL_C][:20000]
+# Zipf CDF (s ≈ 1.05, shifted) for rank-frequency sampling
+_ranks = np.arange(1, len(VOCAB) + 1, dtype=np.float64)
+_weights = 1.0 / (_ranks + 5.0) ** 1.05
+_ZIPF_CDF = np.cumsum(_weights / _weights.sum())
+
+
+def _sample_words(rng: np.random.Generator, k: int) -> list[str]:
+    idx = np.searchsorted(_ZIPF_CDF, rng.random(k))
+    return [VOCAB[int(i)] for i in idx]
 
 TOOLS = ["search", "search", "search", "browse", "exec", "fetch", "calc"]  # 'search' dominant
 ROLES = ["user", "assistant"]
@@ -77,14 +88,14 @@ def _corrupt_text(words: list[str], rng: np.random.Generator) -> list[str]:
     out: list[str] = []
     for w in words:
         r = rng.random()
-        if r < 0.08:  # drop word
+        if r < 0.06:  # drop word
             continue
-        if r < 0.20:  # typo
+        if r < 0.16:  # typo
             out.append(_typo(w, rng))
         else:
             out.append(w)
-        if rng.random() < 0.04:  # insert noise word
-            out.append(VOCAB[int(rng.integers(0, len(VOCAB)))])
+        if rng.random() < 0.03:  # insert noise word
+            out.extend(_sample_words(rng, 1))
     if not out:
         out = [words[0]]
     return out
@@ -113,13 +124,19 @@ def generate_transcripts(sf: float, seed: int = SEED) -> pa.Table:
     for e in range(n_entities):
         n_turns = int(rng.integers(4, 13))
         hot_block = e % 23 == 0  # ~4% of entities share one blocking prefix
+        # Entity anchor tokens: distinctive content words (names/ids) that
+        # recur across the entity's turns — what real dedup keys on.
+        anchors = [f"ent{e}x{i}" for i in range(3)]
         # Per-turn template: list of words + role + tool slot.
         turn_words: list[list[str]] = []
         turn_roles: list[str] = []
         turn_tools: list[str | None] = []
         for t in range(n_turns):
             k = int(rng.integers(6, 17))
-            words = [VOCAB[int(i)] for i in rng.integers(0, len(VOCAB), k)]
+            words = _sample_words(rng, k)
+            if rng.random() < 0.6:  # sprinkle 1-2 anchors into most turns
+                pos = int(rng.integers(0, len(words)))
+                words[pos] = anchors[int(rng.integers(0, 3))]
             if t == 0 and hot_block:
                 words = ["common", "request"] + words[2:]
             if rng.random() < 0.15:
@@ -149,7 +166,7 @@ def generate_transcripts(sf: float, seed: int = SEED) -> pa.Table:
     mega_turns = max(64, int(0.02 * len(conv_ids)))
     for t in range(mega_turns):
         k = int(rng.integers(4, 9))
-        words = [VOCAB[int(i)] for i in rng.integers(0, 40, k)]
+        words = _sample_words(rng, k)
         role = "tool" if t % 3 == 2 else ROLES[t % 2]
         tool = "search" if role == "tool" else None
         emit("mega_s1", t, role, " ".join(words), tool, _BASE_TS + t * 2)

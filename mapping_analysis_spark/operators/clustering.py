@@ -73,13 +73,42 @@ def connected_components(
     src: str = "a",
     dst: str = "b",
     max_iter: int = 50,
+    driver_threshold: int = 2_000_000,
 ) -> DataFrame:
-    """Min-id label propagation to fixpoint. Returns (node, component).
+    """Connected components → (node, component = min reachable id).
 
-    component = min node id reachable (string or numeric min both work).
-    Each superstep is one shuffle (groupBy node); lineage is cut with
-    localCheckpoint so the plan stays constant-size.
+    Scale-aware hybrid: after blocking+thresholding the *edge* set is orders
+    of magnitude smaller than the input (pairs within tiny entity groups), so
+    when it fits comfortably on the driver we collect it and run union-find
+    in O(E α(E)) — one job, no iteration. Above the threshold we fall back to
+    distributed min-id label propagation (one shuffle per superstep,
+    localCheckpoint lineage cuts); for adversarially deep graphs use
+    ``large_star_small_star`` (O(log n) rounds).
     """
+    n_edges = edges.limit(driver_threshold + 1).count()
+    if n_edges <= driver_threshold:
+        rows = edges.select(F.col(src), F.col(dst)).collect()
+        uf = UnionFind()
+        for r in rows:
+            uf.union(r[0], r[1])
+        comp = uf.components()
+        spark = edges.sparkSession
+        if not comp:
+            return spark.createDataFrame([], "node string, comp string")
+        return spark.createDataFrame(
+            [(k, v) for k, v in comp.items()], ["node", "comp"]
+        )
+    return _label_propagation_cc(edges, src, dst, max_iter)
+
+
+def _label_propagation_cc(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Distributed min-id label propagation to fixpoint (the Gelly
+    GSAConnectedComponents analogue)."""
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     )

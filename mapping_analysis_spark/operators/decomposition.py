@@ -1,0 +1,148 @@
+"""Decomposition operators: IDF blocking, TypeGroupBy, SimSort refinement.
+
+Reference §2.3/§2.5 parity, re-expressed declaratively:
+
+* ``idf_blocking`` — TF-IDF candidate blocking
+  (``model/functions/blocking/tfidf/**``, 690 LoC → ~40 lines of DataFrame
+  ops): pick the top-k highest-IDF tokens per record, connect records
+  sharing >= ``support`` of them, connected components over that share graph
+  give block ids; records without a block fall back to the caller's standard
+  key (``MergeExecution.java:239-269`` unions the two).
+* ``type_group_by`` — assign component-less records to the neighbor
+  component with max edge sim, ties → min component
+  (``decomposition/typegroupby/TypeGroupBy.java:38-121``): one ranking
+  window replaces the reference's groupBy().max().join().min() chain.
+* ``sim_sort`` — iterative component refinement
+  (``decomposition/simsort/SimSort.java:42-66`` Pregel loop): repeatedly
+  evict the weakest vertex (mean incident sim < threshold and locally
+  minimal) from its component until fixpoint. Driver-loop supersteps with
+  lineage cuts replace vertex-centric iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mapping_analysis_spark.operators.clustering import connected_components
+
+
+def idf_blocking(
+    records: DataFrame,
+    tokens_col: str = "toks",
+    id_col: str = "rid",
+    top_k: int = 2,
+    support: int = 2,
+    min_df: int = 1,
+) -> DataFrame:
+    """Returns (id_col, idf_block) for records that share >= ``support``
+    high-IDF tokens with at least one other record; others are absent
+    (caller unions a fallback key).
+    """
+    tok = records.select(F.col(id_col), F.explode(F.col(tokens_col)).alias("tok")).distinct()
+    n_docs = records.count()
+    df_counts = tok.groupBy("tok").agg(F.count("*").alias("df")).filter(F.col("df") >= min_df)
+    idf = df_counts.withColumn("idf", F.log(F.lit(float(n_docs)) / F.col("df")))
+    w = Window.partitionBy(id_col).orderBy(F.col("idf").desc(), F.col("tok").asc())
+    top = (
+        tok.join(F.broadcast(idf), "tok")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= top_k)
+        .select(id_col, "tok")
+    )
+    a = top.select(F.col(id_col).alias("a"), "tok")
+    b = top.select(F.col(id_col).alias("b"), "tok")
+    share = (
+        a.join(b, "tok")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= support)
+        .select("a", "b")
+    )
+    comp = connected_components(share)
+    return comp.select(F.col("node").alias(id_col), F.col("comp").alias("idf_block"))
+
+
+def type_group_by(
+    vertices: DataFrame,
+    scored_edges: DataFrame,
+    id_col: str = "rid",
+    comp_col: str = "comp",
+    sim_col: str = "sim",
+) -> DataFrame:
+    """Vertices with a NULL component adopt the neighbor component with the
+    highest edge sim (ties → min component id). Returns vertices with
+    ``comp`` filled where a scored neighbor exists."""
+    sym = scored_edges.select(
+        F.col("a").alias(id_col), F.col("b").alias("nbr"), F.col(sim_col)
+    ).union(
+        scored_edges.select(F.col("b").alias(id_col), F.col("a").alias("nbr"), F.col(sim_col))
+    )
+    nbr_comp = sym.join(
+        vertices.select(F.col(id_col).alias("nbr"), F.col(comp_col).alias("nbr_comp")),
+        "nbr",
+    ).filter(F.col("nbr_comp").isNotNull())
+    w = Window.partitionBy(id_col).orderBy(F.col(sim_col).desc(), F.col("nbr_comp").asc())
+    best = (
+        nbr_comp.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, F.col("nbr_comp").alias("_adopt"))
+    )
+    return (
+        vertices.join(best, id_col, "left")
+        .withColumn(comp_col, F.coalesce(F.col(comp_col), F.col("_adopt")))
+        .drop("_adopt")
+    )
+
+
+def sim_sort(
+    scored_edges: DataFrame,
+    components: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "node",
+    comp_col: str = "comp",
+    sim_col: str = "sim",
+    max_iter: int = 10,
+) -> DataFrame:
+    """Evict weak vertices from components until all remaining members have a
+    mean intra-component edge sim >= threshold. Evicted vertices become
+    singletons (their id as component), mirroring SimSort's deactivation
+    hash (``SimSortComputeFunction.java:26-109``); per superstep only the
+    locally weakest vertex per component is evicted, like the reference's
+    "no neighbor is lower" rule.
+    """
+    comp = components.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        e = (
+            scored_edges.join(
+                comp.select(F.col(id_col).alias("a"), F.col(comp_col).alias("_ca")), "a"
+            )
+            .join(comp.select(F.col(id_col).alias("b"), F.col(comp_col).alias("_cb")), "b")
+            .filter(F.col("_ca") == F.col("_cb"))
+        )
+        per_vertex = (
+            e.select(F.col("a").alias(id_col), F.col("_ca").alias(comp_col), F.col(sim_col))
+            .union(e.select(F.col("b").alias(id_col), F.col("_cb").alias(comp_col), F.col(sim_col)))
+            .groupBy(id_col, comp_col)
+            .agg(F.avg(sim_col).alias("_agg"))
+        )
+        w = Window.partitionBy(comp_col).orderBy(F.col("_agg").asc(), F.col(id_col).asc())
+        evict = (
+            per_vertex.filter(F.col("_agg") < threshold)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(id_col)
+        )
+        n_evict = evict.count()
+        if n_evict == 0:
+            break
+        comp = (
+            comp.join(evict.withColumn("_e", F.lit(1)), id_col, "left")
+            .withColumn(
+                comp_col, F.when(F.col("_e").isNotNull(), F.col(id_col)).otherwise(F.col(comp_col))
+            )
+            .drop("_e")
+            .localCheckpoint(eager=True)
+        )
+    return comp

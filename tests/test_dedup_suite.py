@@ -1,0 +1,75 @@
+"""Tests for the training-data dedup suite (exact / LSH / SimHash / n-gram /
+embedding) on the driver-provided documents + embeddings tables."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from mapping_analysis_spark.operators.dedup import (
+    embedding_neardup,
+    exact_dedup,
+    minhash_lsh_dedup,
+    ngram_jaccard_dedup,
+    simhash_dedup,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_exact_dedup_groups(spark):
+    df = spark.createDataFrame(
+        [(1, "x y z"), (2, "x y z"), (3, "unique")], ["doc_id", "text"]
+    )
+    got = {(r["keeper"], r["member"]) for r in exact_dedup(df).collect()}
+    assert got == {(1, 1), (1, 2), (3, 3)}
+
+
+def _brute_pairs(threshold: float, width: int) -> set:
+    con = duckdb.connect()
+    q = f"""
+    WITH sh AS (
+      SELECT doc_id,
+        list_distinct([array_to_string(tk[i:i+{width - 1}], ' ')
+                       for i in range(1, greatest(1, len(tk)-{width - 1}) + 1)]) AS sg
+      FROM (SELECT doc_id, string_split(text, ' ') AS tk
+            FROM read_parquet('{SF}/documents.parquet'))
+    )
+    SELECT a.doc_id, b.doc_id FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.sg, b.sg))) >= {threshold}
+    """
+    return {tuple(r) for r in con.execute(q).fetchall()}
+
+
+def test_minhash_lsh_dedup_equals_bruteforce(spark, docs):
+    got = {(r["a_doc"], r["b_doc"]) for r in minhash_lsh_dedup(docs, threshold=0.5).collect()}
+    assert got == _brute_pairs(0.5, 3)
+    assert len(got) > 0  # the corpus plants near-duplicates
+
+
+def test_ngram_jaccard_dedup_width_2(spark, docs):
+    got = {(r["a_doc"], r["b_doc"]) for r in ngram_jaccard_dedup(docs, n=2, threshold=0.5).collect()}
+    assert got == _brute_pairs(0.5, 2)
+
+
+def test_simhash_dedup_finds_planted_neardups(spark, docs):
+    got = {(r["a_doc"], r["b_doc"]) for r in simhash_dedup(docs, max_hamming=6).collect()}
+    exact = _brute_pairs(0.8, 3)
+    # SimHash at small Hamming radius should recover most high-Jaccard pairs
+    assert len(got & exact) >= len(exact) * 0.6
+    for pair in got:
+        assert pair[0] < pair[1]
+
+
+def test_embedding_neardup_symmetric_and_thresholded(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    got = embedding_neardup(emb, threshold=0.9).collect()
+    for r in got:
+        assert r["a_id"] < r["b_id"]
+        assert r["sim"] >= 0.9

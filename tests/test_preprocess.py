@@ -1,0 +1,142 @@
+"""Tests for preprocessing / decomposition operators (reference §2.2, §2.5)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapping_analysis_spark.operators.decomposition import (
+    idf_blocking,
+    sim_sort,
+    type_group_by,
+)
+from mapping_analysis_spark.operators.preprocess import (
+    all_edges_per_key,
+    basic_link_filter,
+    check_merge_restrictions,
+    fabricate_edges,
+    min_threshold_filter,
+    remove_every_nth_edge,
+    remove_intra_source_links,
+    remove_isolated_edges,
+    remove_isolated_vertices,
+    simple_edges_per_key,
+    source_count_restriction,
+)
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    vertices = spark.createDataFrame(
+        [("v1", 1), ("v2", 2), ("v3", 1), ("v4", 3), ("v5", 2)], ["rid", "source"]
+    )
+    edges = spark.createDataFrame(
+        [("v1", "v2"), ("v1", "v3"), ("v2", "v5"), ("v1", "v4"), ("v1", "v2")],
+        ["a", "b"],
+    )
+    return vertices, edges
+
+
+def test_remove_intra_source_links(spark, graph):
+    v, e = graph
+    got = {(r["a"], r["b"]) for r in remove_intra_source_links(e, v).collect()}
+    # v1-v3 same source (1), v2-v5 same source (2), dup v1-v2 deduped
+    assert got == {("v1", "v2"), ("v1", "v4")}
+
+
+def test_remove_isolated_vertices(spark, graph):
+    v, _ = graph
+    e = spark.createDataFrame([("v1", "v2")], ["a", "b"])
+    got = {r["rid"] for r in remove_isolated_vertices(v, e).collect()}
+    assert got == {"v1", "v2"}
+
+
+def test_remove_isolated_edges(spark, graph):
+    v, _ = graph
+    e = spark.createDataFrame([("v1", "v2"), ("v1", "zz"), ("q", "p")], ["a", "b"])
+    got = {(r["a"], r["b"]) for r in remove_isolated_edges(e, v).collect()}
+    assert got == {("v1", "v2")}
+
+
+def test_threshold_and_restrictions(spark):
+    pairs = spark.createDataFrame(
+        [("p", 0.9, 1, 2), ("q", 0.4, 1, 2), ("r", 0.9, 3, 1), ("s", 0.9, 1, 14)],
+        ["id", "sim", "a_smask", "b_smask"],
+    )
+    assert {r["id"] for r in min_threshold_filter(pairs, 0.5).collect()} == {"p", "r", "s"}
+    got = {r["id"] for r in check_merge_restrictions(pairs, max_sources=3).collect()}
+    # p: masks 1|2 → 2 sources ok; r: 3&1 overlap → out; s: 1|14 → 4 sources > 3 → out
+    assert got == {"p", "q"}
+    clusters = spark.createDataFrame([("c1", 3), ("c2", 31)], ["rid", "smask"])
+    assert {r["rid"] for r in source_count_restriction(clusters, 5).collect()} == {"c1"}
+
+
+def test_basic_link_filter_one_per_source(spark):
+    vertices = spark.createDataFrame(
+        [("v1", 1), ("x1", 2), ("x2", 2), ("y1", 3)], ["rid", "source"]
+    )
+    edges = spark.createDataFrame(
+        [("v1", "x1", 0.9), ("v1", "x2", 0.8), ("v1", "y1", 0.7)], ["a", "b", "sim"]
+    )
+    got = {(r["a"], r["b"]) for r in basic_link_filter(edges, vertices).collect()}
+    # v1 may keep only its best link into source 2 (x1), plus y1 (source 3)
+    assert got == {("v1", "x1"), ("v1", "y1")}
+
+
+def test_edge_generators(spark):
+    v = spark.createDataFrame(
+        [("a", "k1"), ("b", "k1"), ("c", "k1"), ("d", "k2")], ["rid", "key"]
+    )
+    allp = {(r["a"], r["b"]) for r in all_edges_per_key(v, "key").collect()}
+    assert allp == {("a", "b"), ("a", "c"), ("b", "c")}
+    star = {(r["a"], r["b"]) for r in simple_edges_per_key(v, "key").collect()}
+    assert star == {("a", "b"), ("a", "c")}
+
+
+def test_corruption_ops(spark):
+    e = spark.createDataFrame([(f"n{i}", f"m{i}") for i in range(100)], ["a", "b"])
+    kept = remove_every_nth_edge(e, 10)
+    n = kept.count()
+    assert 80 <= n < 100  # ~1/10 dropped, deterministic
+    assert kept.count() == n  # stable across evaluations
+    v = spark.createDataFrame([(f"n{i}",) for i in range(20)], ["rid"])
+    fab = fabricate_edges(v, 5)
+    assert 0 < fab.count() <= 5
+
+
+def test_idf_blocking_groups_by_rare_tokens(spark):
+    rows = [
+        ("d1", ["common", "alpha", "beta"]),
+        ("d2", ["common", "alpha", "beta"]),
+        ("d3", ["common", "gamma", "delta"]),
+        ("d4", ["common", "gamma", "delta"]),
+        ("d5", ["common", "zeta", "eta"]),
+    ]
+    df = spark.createDataFrame(rows, ["rid", "toks"])
+    got = {r["rid"]: r["idf_block"] for r in idf_blocking(df).collect()}
+    assert got.get("d1") == got.get("d2")
+    assert got.get("d3") == got.get("d4")
+    assert got.get("d1") != got.get("d3")
+    assert "d5" not in got  # no partner sharing 2 rare tokens → fallback path
+
+
+def test_type_group_by_adopts_best_neighbor(spark):
+    vertices = spark.createDataFrame(
+        [("u", None), ("a", "cA"), ("b", "cB")], ["rid", "comp"]
+    )
+    edges = spark.createDataFrame(
+        [("u", "a", 0.9), ("u", "b", 0.9)], ["a", "b", "sim"]
+    )
+    got = {r["rid"]: r["comp"] for r in type_group_by(vertices, edges).collect()}
+    assert got["u"] == "cA"  # tie on sim → min component id
+
+
+def test_sim_sort_evicts_weak_vertex(spark):
+    comps = spark.createDataFrame(
+        [("a", "c"), ("b", "c"), ("w", "c")], ["node", "comp"]
+    )
+    edges = spark.createDataFrame(
+        [("a", "b", 0.9), ("a", "w", 0.2), ("b", "w", 0.3)], ["a", "b", "sim"]
+    )
+    got = {r["node"]: r["comp"] for r in sim_sort(edges, comps, threshold=0.5).collect()}
+    assert got == {"a": "c", "b": "c", "w": "w"}  # weak vertex split out
