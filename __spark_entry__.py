@@ -55,12 +55,19 @@ def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # Shared SQL building blocks (mirror mapping_analysis_spark.pipeline exactly)
 # ---------------------------------------------------------------------------
 
+_EARLY_RAW = ",\n         ".join(
+    f"max(CASE WHEN turn_idx = {k} THEN text END) AS early{k}_raw" for k in range(4)
+)
+_EARLY_NORM = ",\n         ".join(
+    sqlgen.norm_sql(f"coalesce(early{k}_raw, '')") + f" AS early{k}" for k in range(4)
+)
 _REC_SQL = f"""
 rec0 AS (
   SELECT conv_id AS rid,
          arg_min(text, turn_idx) AS label_raw,
          string_agg(text, ' ' ORDER BY turn_idx) AS doc_raw,
-         count(*) AS n_turns
+         count(*) AS n_turns,
+         {_EARLY_RAW}
   FROM {T_SQL} GROUP BY conv_id
 ),
 rec AS (
@@ -68,27 +75,60 @@ rec AS (
          CAST(coalesce(nullif(regexp_extract(rid, '_s([0-9]+)$', 1), ''), '0') AS INT) AS source,
          {sqlgen.norm_sql('label_raw')} AS label,
          {sqlgen.norm_sql('doc_raw')} AS doc,
-         n_turns
+         n_turns,
+         {_EARLY_NORM}
   FROM rec0
 )
 """
 
+_BKS_SQL = "[" + ", ".join(
+    f"'{k}:' || " + sqlgen.blocking_key_sql(f"early{k}") for k in range(4)
+) + "]"
 _BLOCKED_PAIRS_SQL = f"""
 {_REC_SQL},
+rtk AS MATERIALIZED (  -- per-record features, attached after pair dedup
+  SELECT rid, list_distinct({sqlgen.tokens_sql('doc')}) AS toks, label FROM rec
+),
 blk0 AS MATERIALIZED (
-  SELECT rid, source, {sqlgen.blocking_key_sql('label')} AS block_key,
-         list_distinct({sqlgen.tokens_sql('doc')}) AS toks, label
-  FROM rec
+  SELECT rid, source, unnest({_BKS_SQL}) AS bk FROM rec
 ),
-bsz AS (SELECT block_key, count(*) AS bn FROM blk0 GROUP BY block_key),
+bsz AS (SELECT bk, count(*) AS bn FROM blk0 GROUP BY bk),
 blk AS (  -- stop-block pruning: oversized prefix blocks generate no pairs
-  SELECT blk0.* FROM blk0 JOIN bsz USING (block_key) WHERE bn <= {DEFAULT_MAX_BLOCK_SIZE}
+  SELECT blk0.* FROM blk0 JOIN bsz USING (bk) WHERE bn <= {DEFAULT_MAX_BLOCK_SIZE}
 ),
-pairs AS MATERIALIZED (
-  SELECT a.block_key AS block_key, a.rid AS a_rid, b.rid AS b_rid,
-         a.toks AS a_toks, b.toks AS b_toks, a.label AS a_label, b.label AS b_label
+keyed_pairs AS MATERIALIZED (  -- one row per (shared key, pair) — ids only
+  SELECT a.bk AS bk, a.rid AS a_rid, b.rid AS b_rid
   FROM blk a JOIN blk b
-    ON a.block_key = b.block_key AND a.rid < b.rid AND a.source <> b.source
+    ON a.bk = b.bk AND a.rid < b.rid AND a.source <> b.source
+),
+pair_ids AS MATERIALIZED (SELECT DISTINCT a_rid, b_rid FROM keyed_pairs),
+pairs AS MATERIALIZED (  -- deduped pairs with features joined back once
+  SELECT p.a_rid, p.b_rid, ra.toks AS a_toks, rb.toks AS b_toks,
+         ra.label AS a_label, rb.label AS b_label
+  FROM pair_ids p
+  JOIN rtk ra ON p.a_rid = ra.rid
+  JOIN rtk rb ON p.b_rid = rb.rid
+),
+-- relational Jaccard: per-row list_intersect is quadratic per pair in
+-- DuckDB; unnest + hash-join computes all intersections in one pass
+tokx AS MATERIALIZED (SELECT rid, unnest(toks) AS tok FROM rtk),
+lens AS MATERIALIZED (SELECT rid, len(toks) AS n FROM rtk),
+isz AS MATERIALIZED (
+  SELECT p.a_rid, p.b_rid, count(*) AS inter
+  FROM pair_ids p
+  JOIN tokx ta ON ta.rid = p.a_rid
+  JOIN tokx tb ON tb.rid = p.b_rid AND tb.tok = ta.tok
+  GROUP BY p.a_rid, p.b_rid
+),
+jac AS MATERIALIZED (
+  SELECT p.a_rid, p.b_rid,
+    CASE WHEN la.n + lb.n - coalesce(i.inter, 0) = 0 THEN 0.0
+         ELSE CAST(coalesce(i.inter, 0) AS DOUBLE)
+              / (la.n + lb.n - coalesce(i.inter, 0)) END AS sim
+  FROM pair_ids p
+  JOIN lens la ON la.rid = p.a_rid
+  JOIN lens lb ON lb.rid = p.b_rid
+  LEFT JOIN isz i ON i.a_rid = p.a_rid AND i.b_rid = p.b_rid
 )
 """
 
@@ -111,16 +151,29 @@ SELECT rid, source, CAST(1 << source AS INT) AS smask, label, doc, n_turns FROM 
 """
 
 
-def _blocked_records(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Conversation records + blocking key + token set, stop-blocks pruned
-    (blocks > DEFAULT_MAX_BLOCK_SIZE) — shared by every blocked-pair query;
-    mirrors the ``blk`` CTE of _BLOCKED_PAIRS_SQL exactly."""
+def _blocked_key_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per (record, blocking key): (bk, rid, source, toks, label),
+    stop-blocks pruned — mirrors the ``blk`` CTE of _BLOCKED_PAIRS_SQL."""
+    from mapping_analysis_spark.pipeline import block_keys_array
+
     rec = conversation_records(_t(spark, sf_dir))
-    rec = rec.withColumn("block_key", blocking_key(F.col("label")))
     rec = rec.withColumn("toks", distinct_tokens(F.col("doc")))
-    sizes = rec.groupBy("block_key").agg(F.count("*").alias("_bn"))
-    ok = sizes.filter(F.col("_bn") <= DEFAULT_MAX_BLOCK_SIZE).select("block_key")
-    return rec.join(F.broadcast(ok), "block_key", "left_semi")
+    rec = rec.select(
+        "rid", "source", "toks", "label", F.explode(block_keys_array()).alias("bk")
+    )
+    sizes = rec.groupBy("bk").agg(F.count("*").alias("_bn"))
+    ok = sizes.filter(F.col("_bn") <= DEFAULT_MAX_BLOCK_SIZE).select("bk")
+    return rec.join(F.broadcast(ok), "bk", "left_semi")
+
+
+def _blocked_pairs(spark: SparkSession, sf_dir: str, payload: list[str]) -> DataFrame:
+    """Deduped cross-source candidate pairs with a_/b_ payload columns."""
+    from mapping_analysis_spark.operators.blocking import block_pairs
+
+    rows = _blocked_key_rows(spark, sf_dir).select(["rid", "source", "bk"] + payload)
+    pairs = block_pairs(rows, block_col="bk")
+    cols = [f"{s}_{c}" for s in ("a", "b") for c in ["rid"] + payload]
+    return pairs.select(*cols).dropDuplicates(["a_rid", "b_rid"])
 
 
 def q_conv_blocking_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -138,24 +191,21 @@ def q_conv_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STANDARD_BLOCKING candidate pairs (cross-source, a<b) — salted path."""
     from mapping_analysis_spark.operators.blocking import salted_block_pairs
 
-    slim = _blocked_records(spark, sf_dir).select("rid", "source", "block_key")
-    return salted_block_pairs(slim, cap=64).select(
-        F.col("a_block_key").alias("block_key"), "a_rid", "b_rid"
+    slim = _blocked_key_rows(spark, sf_dir).select("rid", "source", "bk")
+    return salted_block_pairs(slim, block_col="bk", cap=64).select(
+        F.col("a_bk").alias("block_key"), "a_rid", "b_rid"
     )
 
 
 SQL_CONV_CANDIDATE_PAIRS = f"""
 WITH {_BLOCKED_PAIRS_SQL}
-SELECT block_key, a_rid, b_rid FROM pairs
+SELECT bk AS block_key, a_rid, b_rid FROM keyed_pairs
 """
 
 
 def q_conv_pair_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-set Jaccard per blocked pair, as integer millionths."""
-    from mapping_analysis_spark.operators.blocking import block_pairs
-
-    rec = _blocked_records(spark, sf_dir)
-    pairs = block_pairs(rec.select("rid", "source", "block_key", "toks"))
+    pairs = _blocked_pairs(spark, sf_dir, ["toks"])
     return pairs.select(
         "a_rid",
         "b_rid",
@@ -165,17 +215,14 @@ def q_conv_pair_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_CONV_PAIR_JACCARD = f"""
 WITH {_BLOCKED_PAIRS_SQL}
-SELECT a_rid, b_rid, {sqlgen.sim_e6_sql(_JACCARD)} AS sim_e6 FROM pairs
+SELECT a_rid, b_rid, {sqlgen.sim_e6_sql('sim')} AS sim_e6 FROM jac
 """
 
 
 def q_conv_pair_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COSINE_TRIGRAM metric (reference ``util/Utils.java:853-873``) on labels
     of blocked pairs — multiset cosine over padded 3-grams."""
-    from mapping_analysis_spark.operators.blocking import block_pairs
-
-    rec = _blocked_records(spark, sf_dir)
-    pairs = block_pairs(rec.select("rid", "source", "block_key", "label"))
+    pairs = _blocked_pairs(spark, sf_dir, ["label"])
     return pairs.select(
         "a_rid",
         "b_rid",
@@ -218,11 +265,9 @@ LEFT JOIN dots ON tg.a_rid = dots.a_rid AND tg.b_rid = dots.b_rid
 def q_conv_max_both(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MAX_BOTH mutual-best selection (MaxBothSelection.java:27-82) over
     blocked Jaccard pairs >= threshold."""
-    from mapping_analysis_spark.operators.blocking import block_pairs
     from mapping_analysis_spark.operators.matching import max_both
 
-    rec = _blocked_records(spark, sf_dir)
-    pairs = block_pairs(rec.select("rid", "source", "block_key", "toks"))
+    pairs = _blocked_pairs(spark, sf_dir, ["toks"])
     scored = pairs.select(
         "a_rid", "b_rid", token_set_jaccard(F.col("a_toks"), F.col("b_toks")).alias("sim")
     ).filter(F.col("sim") >= DEFAULT_THRESHOLD)
@@ -232,8 +277,7 @@ def q_conv_max_both(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_CONV_MAX_BOTH = f"""
 WITH {_BLOCKED_PAIRS_SQL},
 scored AS (
-  SELECT a_rid, b_rid, {_JACCARD} AS sim FROM pairs
-  WHERE {_JACCARD} >= {DEFAULT_THRESHOLD}
+  SELECT a_rid, b_rid, sim FROM jac WHERE sim >= {DEFAULT_THRESHOLD}
 ),
 ranked AS (
   SELECT a_rid, b_rid, sim,
@@ -249,10 +293,7 @@ def q_conv_dedup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship (oracle-checkable variant): prefix-blocked pairs → Jaccard >=
     threshold → connected components → (conv_id, cluster_id, cluster_size).
     The oracle replays the closure with a recursive CTE."""
-    from mapping_analysis_spark.operators.blocking import block_pairs
-
-    rec = _blocked_records(spark, sf_dir)
-    pairs = block_pairs(rec.select("rid", "source", "block_key", "toks"))
+    pairs = _blocked_pairs(spark, sf_dir, ["toks"])
     edges = (
         pairs.withColumn("sim", token_set_jaccard(F.col("a_toks"), F.col("b_toks")))
         .filter(F.col("sim") >= DEFAULT_THRESHOLD)
@@ -274,7 +315,7 @@ def q_conv_dedup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_CONV_DEDUP_BLOCKED = f"""
 WITH RECURSIVE {_BLOCKED_PAIRS_SQL},
 edges AS MATERIALIZED (
-  SELECT a_rid AS a, b_rid AS b FROM pairs WHERE {_JACCARD} >= {DEFAULT_THRESHOLD}
+  SELECT a_rid AS a, b_rid AS b FROM jac WHERE sim >= {DEFAULT_THRESHOLD}
 ),
 sym AS MATERIALIZED (SELECT a AS u, b AS v FROM edges UNION SELECT b, a FROM edges),
 reach AS (
@@ -316,7 +357,7 @@ def q_conv_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_CONV_REPRESENTATIVES = f"""
 WITH RECURSIVE {_BLOCKED_PAIRS_SQL},
 edges AS MATERIALIZED (
-  SELECT a_rid AS a, b_rid AS b FROM pairs WHERE {_JACCARD} >= {DEFAULT_THRESHOLD}
+  SELECT a_rid AS a, b_rid AS b FROM jac WHERE sim >= {DEFAULT_THRESHOLD}
 ),
 sym AS MATERIALIZED (SELECT a AS u, b AS v FROM edges UNION SELECT b, a FROM edges),
 reach AS (
@@ -479,11 +520,22 @@ def q_doc_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_DOC_NEARDUP = f"""
-WITH {_DOC_SHINGLES_SQL}
-SELECT a.doc_id AS a_doc, b.doc_id AS b_doc,
-  {sqlgen.sim_e6_sql(sqlgen.token_jaccard_sql('a.sg', 'b.sg'))} AS sim_e6
-FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-WHERE {sqlgen.token_jaccard_sql('a.sg', 'b.sg')} >= 0.5
+WITH {_DOC_SHINGLES_SQL},
+shx AS MATERIALIZED (SELECT doc_id, unnest(sg) AS s FROM sh),
+lens AS (SELECT doc_id, len(sg) AS n FROM sh),
+isz AS (  -- pairs sharing no shingle cannot reach the threshold
+  SELECT a.doc_id AS a_doc, b.doc_id AS b_doc, count(*) AS inter
+  FROM shx a JOIN shx b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT i.a_doc, i.b_doc,
+    CAST(i.inter AS DOUBLE) / (la.n + lb.n - i.inter) AS sim
+  FROM isz i
+  JOIN lens la ON la.doc_id = i.a_doc
+  JOIN lens lb ON lb.doc_id = i.b_doc
+)
+SELECT a_doc, b_doc, {sqlgen.sim_e6_sql('sim')} AS sim_e6 FROM jac WHERE sim >= 0.5
 """
 
 
@@ -764,6 +816,269 @@ FROM ranked WHERE rank <= 5
 
 
 # ---------------------------------------------------------------------------
+# Additional operators: fingerprints, language ID, IDF blocking, merge ops,
+# embedding near-dup, sliding windows
+# ---------------------------------------------------------------------------
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: polynomial rolling hash (base 31, mod 2^31-1)
+    over the raw text characters — pure Catalyst fold, exact in both engines."""
+    docs = _tbl(spark, sf_dir, "documents")
+    chars = F.expr("transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1)))")
+    fp = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % F.lit(2147483647).cast("long"),
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+SQL_DOC_FINGERPRINT = """
+SELECT doc_id,
+  list_reduce(
+    [CAST(0 AS BIGINT)] || [CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT)
+                            for i in range(1, len(text) + 1)],
+    (acc, x) -> (acc * 31 + x) % 2147483647
+  ) AS fingerprint
+FROM documents
+"""
+
+
+_LANG_MARKERS = {
+    "en": ["the", "a", "of"],
+    "q1": ["table", "row", "column"],
+    "q2": ["stream", "batch", "window"],
+}
+
+
+def q_doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language/domain ID heuristic: argmax of marker-list hit
+    counts (ties → lexicographically first list name), 'und' when no hits.
+
+    Counting marker tokens per language list is the classic stopword-profile
+    n-gram LID scheme; marker lists here are tuned to the synthetic corpus."""
+    docs = _tbl(spark, sf_dir, "documents")
+    tk = F.split(F.col("text"), " ")
+    names = sorted(_LANG_MARKERS)
+    hits = {
+        n: F.size(F.filter(tk, lambda t: t.isin(_LANG_MARKERS[n]))) for n in names
+    }
+    best = F.greatest(*[hits[n] for n in names])
+    guess = F.when(best == 0, F.lit("und"))
+    for n in names:  # alphabetical order = deterministic tie-break
+        guess = guess.when(hits[n] == best, F.lit(n))
+    return docs.select(
+        "doc_id", guess.alias("lang_guess"), best.alias("marker_hits")
+    )
+
+
+def _lang_sql() -> tuple[str, str]:
+    counts = {
+        n: f"len(list_filter(tk, t -> list_contains(['"
+        + "','".join(_LANG_MARKERS[n])
+        + "'], t)))"
+        for n in sorted(_LANG_MARKERS)
+    }
+    best = "greatest(" + ", ".join(counts.values()) + ")"
+    case = "CASE WHEN " + best + " = 0 THEN 'und' "
+    for n in sorted(_LANG_MARKERS):
+        case += f"WHEN {counts[n]} = {best} THEN '{n}' "
+    case += "END"
+    return case, best
+
+
+_LANG_CASE, _LANG_BEST = _lang_sql()
+SQL_DOC_LANGUAGE_ID = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+SELECT doc_id, {_LANG_CASE} AS lang_guess, {_LANG_BEST} AS marker_hits FROM t
+"""
+
+
+def q_conv_idf_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDF blocking (reference tfidf package, 690 LoC → DataFrame ops):
+    records sharing >= 2 of their top-2 rarest tokens are connected; CC over
+    the share graph gives block ids."""
+    from mapping_analysis_spark.operators.decomposition import idf_blocking
+
+    rec = conversation_records(_t(spark, sf_dir))
+    rec = rec.withColumn("toks", distinct_tokens(F.col("doc")))
+    return idf_blocking(rec.select("rid", "toks"), top_k=2, support=2)
+
+
+SQL_CONV_IDF_BLOCKING = f"""
+WITH RECURSIVE {_REC_SQL},
+tok AS MATERIALIZED (
+  SELECT DISTINCT rid, unnest(list_distinct({sqlgen.tokens_sql('doc')})) AS tok FROM rec
+),
+dfc AS (SELECT tok, count(*) AS df FROM tok GROUP BY tok),
+ranked AS (
+  SELECT rid, tok, row_number() OVER (PARTITION BY rid ORDER BY df ASC, tok ASC) AS rn
+  FROM tok JOIN dfc USING (tok)
+),
+top AS (SELECT rid, tok FROM ranked WHERE rn <= 2),
+share AS MATERIALIZED (
+  SELECT a.rid AS a, b.rid AS b
+  FROM top a JOIN top b ON a.tok = b.tok AND a.rid < b.rid
+  GROUP BY a.rid, b.rid HAVING count(*) >= 2
+),
+sym AS MATERIALIZED (SELECT a AS u, b AS v FROM share UNION SELECT b, a FROM share),
+reach AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+)
+SELECT u AS rid, least(min(v), u) AS idf_block FROM reach GROUP BY u
+"""
+
+
+def q_conv_greedy_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-local greedy agglomerative merge (the reference's delta-iteration
+    kernel, DeltaIterateMergeMusicStepFunction.java:104-137) under source
+    restrictions. Iterative tie-broken merging is not SQL-expressible →
+    rows-only check; semantics pinned by tests/test_operators.py."""
+    from mapping_analysis_spark.operators.blocking import block_pairs
+    from mapping_analysis_spark.operators.clustering import greedy_merge
+
+    rows = _blocked_key_rows(spark, sf_dir).withColumn(
+        "smask", F.expr("shiftleft(1, source)")
+    )
+    pairs = block_pairs(rows.select("rid", "source", "smask", "bk", "toks"), block_col="bk")
+    scored = pairs.withColumn(
+        "sim", token_set_jaccard(F.col("a_toks"), F.col("b_toks"))
+    ).filter(F.col("sim") >= DEFAULT_THRESHOLD)
+    return greedy_merge(
+        scored,
+        block_col="a_bk",
+        threshold=DEFAULT_THRESHOLD,
+        max_sources=5,
+    ).dropDuplicates(["rid"]).orderBy("rid")
+
+
+def q_conv_hungarian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-block optimal 1:1 assignment (HungarianAlgorithmReduceFunction
+    semantics) — pure-numpy O(n³) Hungarian in applyInPandas. Optimal
+    assignment is not SQL-expressible → rows-only check; optimality pinned
+    by tests/test_operators.py."""
+    from mapping_analysis_spark.operators.blocking import block_pairs
+    from mapping_analysis_spark.operators.matching import hungarian_matches
+
+    rows = _blocked_key_rows(spark, sf_dir)
+    pairs = block_pairs(rows.select("rid", "source", "bk", "toks"), block_col="bk")
+    scored = pairs.withColumn(
+        "sim", token_set_jaccard(F.col("a_toks"), F.col("b_toks"))
+    ).filter(F.col("sim") >= DEFAULT_THRESHOLD)
+    return hungarian_matches(scored, block_col="a_bk").withColumnRenamed(
+        "a_bk", "block_key"
+    )
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs >= 0.35 (quantized-exact)."""
+    from mapping_analysis_spark.operators.dedup import embedding_neardup
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    out = embedding_neardup(emb, threshold=0.35)
+    return out.select("a_id", "b_id", sim_e6(F.col("sim")).alias("sim_e6"))
+
+
+SQL_EMBEDDING_NEARDUP = f"""
+WITH q0 AS (
+  SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*10000.0+0.5) AS BIGINT) for x in embedding] AS q
+  FROM embeddings
+),
+base AS (SELECT vec_id, q, list_sum([x*x for x in q]) AS n2 FROM q0),
+s AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+    CAST(list_sum([a.q[i]*b.q[i] for i in range(1, len(a.q)+1)]) AS DOUBLE)
+      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS sim
+  FROM base a JOIN base b ON a.vec_id < b.vec_id
+)
+SELECT a_id, b_id, {sqlgen.sim_e6_sql('sim')} AS sim_e6 FROM s WHERE sim >= 0.35
+"""
+
+
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (2h width, 1h slide) per event_type — each event lands
+    in exactly two windows; epoch-aligned starts in both engines."""
+    ev = _tbl(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("win.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+SQL_EVENTS_SLIDING = """
+WITH e AS (
+  SELECT event_type,
+    unnest([
+      CAST(to_timestamp((CAST(floor(epoch(ts) / 3600) AS BIGINT) - 1) * 3600) AS TIMESTAMP),
+      CAST(to_timestamp(CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600) AS TIMESTAMP)
+    ]) AS window_start
+  FROM events
+)
+SELECT window_start, event_type, count(*) AS n_events
+FROM e GROUP BY 1, 2
+"""
+
+
+def q_match_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-level P/R/F1 of the blocked pipeline vs the planted gold entities
+    (the reference's QualityUtils oracle, ``util/QualityUtils.java:385-403``);
+    gold entity = conv_id prefix."""
+    from mapping_analysis_spark.operators.evaluation import pair_quality
+
+    assign = q_conv_dedup_blocked(spark, sf_dir).select("conv_id", "cluster_id")
+    gold = assign.select(
+        "conv_id", F.split(F.col("conv_id"), "_").getItem(0).alias("entity_id")
+    )
+    return pair_quality(assign, gold)
+
+
+SQL_MATCH_QUALITY = f"""
+WITH RECURSIVE {_BLOCKED_PAIRS_SQL},
+edges AS MATERIALIZED (
+  SELECT a_rid AS a, b_rid AS b FROM jac WHERE sim >= {DEFAULT_THRESHOLD}
+),
+sym AS MATERIALIZED (SELECT a AS u, b AS v FROM edges UNION SELECT b, a FROM edges),
+reach AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+),
+comp AS (SELECT u AS node, least(min(v), u) AS cluster_id FROM reach GROUP BY u),
+assign AS (
+  SELECT rid AS conv_id, coalesce(comp.cluster_id, rid) AS cluster_id
+  FROM rec LEFT JOIN comp ON rec.rid = comp.node
+),
+pp AS (
+  SELECT DISTINCT a.conv_id AS a, b.conv_id AS b
+  FROM assign a JOIN assign b ON a.cluster_id = b.cluster_id AND a.conv_id < b.conv_id
+),
+gold AS (SELECT conv_id, split_part(conv_id, '_', 1) AS entity_id FROM assign),
+gp AS (
+  SELECT DISTINCT a.conv_id AS a, b.conv_id AS b
+  FROM gold a JOIN gold b ON a.entity_id = b.entity_id AND a.conv_id < b.conv_id
+),
+counts AS (
+  SELECT
+    (SELECT count(*) FROM pp JOIN gp USING (a, b)) AS tp,
+    (SELECT count(*) FROM pp) AS n_pred,
+    (SELECT count(*) FROM gp) AS n_gold
+)
+SELECT tp, n_pred, n_gold,
+  CAST(floor(CASE WHEN n_pred = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE)/n_pred END * 1000000 + 0.5) AS BIGINT) AS precision_e6,
+  CAST(floor(CASE WHEN n_gold = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE)/n_gold END * 1000000 + 0.5) AS BIGINT) AS recall_e6,
+  CAST(floor(
+    CASE WHEN tp = 0 THEN 0.0 ELSE
+      2 * (CAST(tp AS DOUBLE)/n_pred) * (CAST(tp AS DOUBLE)/n_gold)
+        / ((CAST(tp AS DOUBLE)/n_pred) + (CAST(tp AS DOUBLE)/n_gold))
+    END * 1000000 + 0.5) AS BIGINT) AS f1_e6
+FROM counts
+"""
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -796,6 +1111,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_no_orders": q_customers_no_orders,
         "convs_without_tool": q_convs_without_tool,
         "ann_topk": q_ann_topk,
+        "doc_fingerprint": q_doc_fingerprint,
+        "doc_language_id": q_doc_language_id,
+        "conv_idf_blocking": q_conv_idf_blocking,
+        "conv_greedy_merge": q_conv_greedy_merge,
+        "conv_hungarian": q_conv_hungarian,
+        "embedding_neardup": q_embedding_neardup,
+        "events_sliding": q_events_sliding,
+        "match_quality": q_match_quality,
     }
 
 
@@ -823,4 +1146,12 @@ def oracle_sql() -> dict[str, str]:
         "customers_no_orders": SQL_CUSTOMERS_NO_ORDERS,
         "convs_without_tool": SQL_CONVS_WITHOUT_TOOL,
         "ann_topk": SQL_ANN_TOPK,
+        "doc_fingerprint": SQL_DOC_FINGERPRINT,
+        "doc_language_id": SQL_DOC_LANGUAGE_ID,
+        "conv_idf_blocking": SQL_CONV_IDF_BLOCKING,
+        # conv_greedy_merge / conv_hungarian: iterative tie-broken merging and
+        # optimal assignment are not SQL-expressible → rows-only checks.
+        "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+        "events_sliding": SQL_EVENTS_SLIDING,
+        "match_quality": SQL_MATCH_QUALITY,
     }

@@ -55,8 +55,15 @@ def trigram_cosine(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
-def _shingle_hashes(tokens: list[str], width: int) -> np.ndarray:
-    """Stable 32-bit hashes of word w-shingles (crc32 — platform-stable)."""
+def _shingle_hashes(tokens, width: int) -> np.ndarray:
+    """Stable 32-bit hashes of word w-shingles.
+
+    Accepts either string tokens (crc32 per shingle — platform-stable) or
+    already-hashed int64 values (callers hash JVM-side with
+    ``pmod(xxhash64(x), 2^32)`` to keep Arrow transfer and Python CPU low;
+    values must fit 32 bits so the exact modmul in ``_min_perm`` holds)."""
+    if len(tokens) > 0 and not isinstance(tokens[0], str):
+        return np.asarray(tokens, dtype=np.int64) & 0xFFFFFFFF
     if len(tokens) < width:
         shingles = [" ".join(tokens)] if tokens else [""]
     else:

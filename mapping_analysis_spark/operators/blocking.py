@@ -162,6 +162,11 @@ def lsh_band_pairs(
     ).select(
         id_col, "band_idx", F.xxhash64(F.col("band_sig").cast("string")).alias("band_hash")
     )
+    # pin the bucket-join parallelism: the banded table compresses to a few
+    # MB, so AQE coalesces the join to ~4 tasks while the join itself fans
+    # out quadratically inside hot buckets (measured 20 s 3-core stall)
+    n_part = records.sparkSession.sparkContext.defaultParallelism * 2
+    banded = banded.repartition(n_part, "band_idx", "band_hash")
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (

@@ -40,12 +40,12 @@ def idf_blocking(
     (caller unions a fallback key).
     """
     tok = records.select(F.col(id_col), F.explode(F.col(tokens_col)).alias("tok")).distinct()
-    n_docs = records.count()
     df_counts = tok.groupBy("tok").agg(F.count("*").alias("df")).filter(F.col("df") >= min_df)
-    idf = df_counts.withColumn("idf", F.log(F.lit(float(n_docs)) / F.col("df")))
-    w = Window.partitionBy(id_col).orderBy(F.col("idf").desc(), F.col("tok").asc())
+    # idf desc ≡ document-frequency asc — rank on the integer so results are
+    # engine-exact (float log() rounding differs across libm implementations)
+    w = Window.partitionBy(id_col).orderBy(F.col("df").asc(), F.col("tok").asc())
     top = (
-        tok.join(F.broadcast(idf), "tok")
+        tok.join(F.broadcast(df_counts), "tok")
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= top_k)
         .select(id_col, "tok")

@@ -53,6 +53,12 @@ from mapping_analysis_spark.operators.clustering import (
 DEFAULT_THRESHOLD = 0.35
 DEFAULT_BLOCK_LENGTH = 4
 DEFAULT_LSH_BANDS = 24
+# Multi-key blocking: one prefix key per early turn (reference NC strategy —
+# several key variants per record, ``util/Utils.java:208-233``). Corruption
+# hits each turn independently, so a duplicate pair escapes all k keys with
+# prob ~(1-0.64)^k — at k=4 ≈ 1.7% — and the LSH path catches the rest.
+N_BLOCK_TURNS = 4
+DEFAULT_SHINGLE_WIDTH = 3
 # Stop-block pruning: blocks larger than this generate no prefix pairs (they
 # are head-of-Zipf stop-prefixes — at sf0.1 one 4-char prefix already holds
 # 6965 records = 24M pairs, quadratic death at 100 TB). Recall for records in
@@ -62,12 +68,14 @@ DEFAULT_LSH_BANDS = 24
 DEFAULT_MAX_BLOCK_SIZE = 256
 
 
-def doc_shingles(tokens_in_order) -> "F.Column":  # type: ignore[name-defined]
-    """Distinct word 2-shingles of an ordered token array (native expr).
+def doc_shingles(tokens_in_order, width: int = DEFAULT_SHINGLE_WIDTH) -> "F.Column":  # type: ignore[name-defined]
+    """Distinct word w-shingles of an ordered token array (native expr).
 
     The LSH feature: sequence-sensitive, so unrelated records from a shared
     vocabulary do not collide (unigram MinHash degenerates when the token
-    universe is small relative to document length).
+    universe is small relative to document length; measured on the seeded
+    corpus: false-pair 3-shingle Jaccard is 0.0000 at p99.9 while true pairs
+    start at ~0.10).
 
     IMPORTANT: pass a *bound column* (e.g. ``withColumn("tk", split(...))``
     first), not an inline ``split(...)`` expression — Catalyst inlines the
@@ -76,9 +84,30 @@ def doc_shingles(tokens_in_order) -> "F.Column":  # type: ignore[name-defined]
     tk = tokens_in_order
     return F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.greatest(F.lit(1), F.size(tk) - 1)),
-            lambda i: F.concat_ws(" ", F.element_at(tk, i), F.element_at(tk, i + 1)),
+            F.sequence(F.lit(1), F.greatest(F.lit(1), F.size(tk) - (width - 1))),
+            lambda i: F.concat_ws(" ", *[F.element_at(tk, i + j) for j in range(width)]),
         )
+    )
+
+
+def block_keys_array(block_length: int = DEFAULT_BLOCK_LENGTH):
+    """Column expr: the record's ``N_BLOCK_TURNS`` prefix keys as an array —
+    '<k>:<prefix-of-normalized-early-turn-k>'. Requires the ``early`` column
+    from ``conversation_records``."""
+    return F.array(
+        *[
+            F.concat_ws(
+                ":", F.lit(str(k)), blocking_key(F.element_at("early", k + 1), block_length)
+            )
+            for k in range(N_BLOCK_TURNS)
+        ]
+    )
+
+
+def multi_block_keys(records: DataFrame, block_length: int = DEFAULT_BLOCK_LENGTH) -> DataFrame:
+    """Explode each record into (rid, source, bk) multi-key rows."""
+    return records.select(
+        "rid", "source", F.explode(block_keys_array(block_length)).alias("bk")
     )
 
 
@@ -93,10 +122,15 @@ def conversation_records(transcripts: DataFrame) -> DataFrame:
     ordered_texts = F.transform(
         F.array_sort(F.collect_list(F.struct("turn_idx", "text"))), lambda x: x.text
     )
+    early = [
+        F.max(F.when(F.col("turn_idx") == k, F.col("text"))).alias(f"early{k}_raw")
+        for k in range(N_BLOCK_TURNS)
+    ]
     rec = transcripts.groupBy("conv_id").agg(
         F.min_by("text", "turn_idx").alias("label_raw"),
         F.array_join(ordered_texts, " ").alias("doc_raw"),
         F.count("*").alias("n_turns"),
+        *early,
     )
     source = F.coalesce(
         F.nullif(F.regexp_extract("conv_id", "_s([0-9]+)$", 1), F.lit("")), F.lit("0")
@@ -107,13 +141,19 @@ def conversation_records(transcripts: DataFrame) -> DataFrame:
         normalize_text(F.col("label_raw")).alias("label"),
         normalize_text(F.col("doc_raw")).alias("doc"),
         F.col("n_turns"),
+        F.array(
+            *[
+                normalize_text(F.coalesce(F.col(f"early{k}_raw"), F.lit("")))
+                for k in range(N_BLOCK_TURNS)
+            ]
+        ).alias("early"),
     ).withColumn("smask", F.expr("shiftleft(1, source)"))
 
 
 def candidate_pairs(
     records: DataFrame,
     block_length: int = DEFAULT_BLOCK_LENGTH,
-    salted: bool = True,
+    salted: bool = False,
     cap: int = 64,
     lsh_bands: int = DEFAULT_LSH_BANDS,
     max_block_size: int = DEFAULT_MAX_BLOCK_SIZE,
@@ -125,45 +165,77 @@ def candidate_pairs(
 
     The union mirrors the reference's strategy composition (IDF/LSH blocking
     unioned with a standard-blocking fallback,
-    ``model/functions/merge/MergeExecution.java:239-269``): the prefix key is
-    cheap and precise, the LSH bands recover prefix-corrupted duplicates.
-    With 32 bands × 1 row the probability of missing a Jaccard-0.35 pair is
-    (1-0.35)^32 ≈ 1e-6, so exact-verification after banding reproduces the
-    brute-force oracle while staying subquadratic at scale.
+    ``model/functions/merge/MergeExecution.java:239-269``): multi-turn prefix
+    keys are cheap, precise equi-joins; the MinHash-over-3-shingle bands
+    recover pairs whose early turns are all corrupted. Both paths are
+    record-local (stream-stable) and linear in candidate volume.
+
+    ``salted=False`` by default: stop-block pruning bounds every block at
+    ``max_block_size`` (≤ 33k pairs per block), which Catalyst+AQE handles in
+    one JVM self-join; the triangle-salted ``applyInPandas`` path
+    (BlockSplit semantics) remains for deployments that must keep oversized
+    blocks instead of pruning them.
     """
-    rec = records.withColumn("block_key", blocking_key(F.col("label"), block_length))
     # doc is already normalized → tokens = split + drop empties (identical to
-    # distinct_tokens(doc) since normalize is idempotent, but ~2x cheaper)
-    rec = rec.withColumn("_tk", F.split(F.col("doc"), " "))
+    # distinct_tokens(doc) since normalize is idempotent, but ~2x cheaper).
+    # Tokens and shingles are hashed to int64 JVM-side: the verify join then
+    # shuffles ~10x fewer bytes and the MinHash kernel skips per-shingle
+    # utf8+crc32 — this workload is memory-bandwidth-bound at high core
+    # counts, so bytes moved ≈ wall time (collision odds 2^-64 per token
+    # pair are irrelevant to set sizes).
+    rec = records.withColumn("_tk", F.split(F.col("doc"), " "))
     rec = rec.withColumn(
-        "toks", F.array_distinct(F.filter(F.col("_tk"), lambda t: t != F.lit("")))
+        "toks",
+        F.array_distinct(
+            F.transform(
+                F.filter(F.col("_tk"), lambda t: t != F.lit("")), lambda t: F.xxhash64(t)
+            )
+        ),
     )
-    rec = rec.withColumn("sg2", doc_shingles(F.col("_tk"))).drop("_tk")
-    rec = rec.localCheckpoint(eager=False)
-    sizes = rec.groupBy("block_key").agg(F.count("*").alias("_bn"))
-    ok_blocks = sizes.filter(F.col("_bn") <= max_block_size).select("block_key")
-    slim = rec.select("rid", "source", "block_key").join(
-        F.broadcast(ok_blocks), "block_key", "left_semi"
-    )
+    rec = rec.withColumn(
+        "sg",
+        F.array_distinct(
+            F.transform(
+                doc_shingles(F.col("_tk")),
+                lambda s: F.pmod(F.xxhash64(s), F.lit(4294967296)),
+            )
+        ),
+    ).drop("_tk")
+    rec = rec.select("rid", "source", "early", "toks", "sg")
+    # eager: the featurized records feed 5 consumers (sizes, self-join,
+    # minhash, both payload joins) — materialize once
+    rec = rec.localCheckpoint(eager=True)
+    blk = multi_block_keys(rec, block_length)
+    sizes = blk.groupBy("bk").agg(F.count("*").alias("_bn"))
+    ok_blocks = sizes.filter(F.col("_bn") <= max_block_size).select("bk")
+    slim = blk.join(F.broadcast(ok_blocks), "bk", "left_semi")
     if salted:
-        bp = salted_block_pairs(slim, cap=cap).select("a_rid", "b_rid")
+        bp = salted_block_pairs(slim, block_col="bk", cap=cap).select("a_rid", "b_rid")
     else:
-        bp = block_pairs(slim).select("a_rid", "b_rid")
+        bp = block_pairs(slim, block_col="bk").select("a_rid", "b_rid")
     id_pairs = bp
     if lsh_bands:
         mh = make_minhash_udf(num_hashes=lsh_bands, shingle_width=1)
-        sig = rec.select("rid", mh(F.col("sg2")).alias("minhash"))
+        sig = rec.select("rid", mh(F.col("sg")).alias("minhash"))
         lp = lsh_band_pairs(sig, bands=lsh_bands, rows_per_band=1)
         id_pairs = id_pairs.union(lp.select("a_rid", "b_rid"))
     id_pairs = id_pairs.dropDuplicates(["a_rid", "b_rid"])
+    # Explicit repartition before the payload joins: AQE coalesces the thin
+    # (a_rid, b_rid) shuffle to a handful of partitions (~40 MB compressed),
+    # but the join fattens every row with ~1 KB token arrays — leaving the
+    # whole similarity stage on ~3 cores (measured 28 s stall at sf0.5). A
+    # user repartition pins the parallelism through the fat stages.
+    n_part = records.sparkSession.sparkContext.defaultParallelism * 2
     a = rec.select(
         F.col("rid").alias("a_rid"), F.col("source").alias("a_source"), F.col("toks").alias("a_toks")
-    )
+    ).hint("shuffle_hash")
     b = rec.select(
         F.col("rid").alias("b_rid"), F.col("source").alias("b_source"), F.col("toks").alias("b_toks")
-    )
+    ).hint("shuffle_hash")
     return (
-        id_pairs.join(a, "a_rid")
+        id_pairs.repartition(n_part, "a_rid")
+        .join(a, "a_rid")
+        .repartition(n_part, "b_rid")
         .join(b, "b_rid")
         .filter(F.col("a_source") != F.col("b_source"))
     )
@@ -181,8 +253,8 @@ def match_conversations(
     transcripts: DataFrame,
     threshold: float = DEFAULT_THRESHOLD,
     block_length: int = DEFAULT_BLOCK_LENGTH,
-    salted: bool = True,
-    cap: int = 1024,
+    salted: bool = False,
+    cap: int = 64,
 ) -> DataFrame:
     """Full batch pipeline → (conv_id, cluster_id); singletons keep own id."""
     rec = conversation_records(transcripts)

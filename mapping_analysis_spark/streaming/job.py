@@ -64,6 +64,7 @@ from mapping_analysis_spark.pipeline import (
     DEFAULT_LSH_BANDS,
     DEFAULT_MAX_BLOCK_SIZE,
     DEFAULT_THRESHOLD,
+    block_keys_array,
     conversation_records,
     doc_shingles,
 )
@@ -144,24 +145,39 @@ class IncrementalClusteringJob:
         recs_full = conversation_records(
             turns.join(F.broadcast(affected), "conv_id", "left_semi")
         )
+        # identical featurization to pipeline.candidate_pairs (hashed int64
+        # tokens/shingles — see the bandwidth note there)
+        recs_full = recs_full.withColumn("bks", block_keys_array(self.block_length))
+        recs_full = recs_full.withColumn("_tk", F.split(F.col("doc"), " "))
         recs_full = recs_full.withColumn(
-            "block_key", blocking_key(F.col("label"), self.block_length)
-        ).withColumn("toks", distinct_tokens(F.col("doc")))
+            "toks",
+            F.array_distinct(
+                F.transform(F.filter(F.col("_tk"), lambda t: t != F.lit("")), lambda t: F.xxhash64(t))
+            ),
+        )
         recs_full = (
-            recs_full.withColumn("_tk", F.split(F.col("doc"), " "))
-            .withColumn("sg2", doc_shingles(F.col("_tk")))
+            recs_full.withColumn(
+                "sg",
+                F.array_distinct(
+                    F.transform(
+                        doc_shingles(F.col("_tk")),
+                        lambda s: F.pmod(F.xxhash64(s), F.lit(4294967296)),
+                    )
+                ),
+            )
             .drop("_tk")
+            .select("rid", "source", "bks", "toks", "sg")
             .localCheckpoint(eager=True)
         )
-        recs_a = recs_full.select("rid", "source", "block_key", "toks")
+        recs_a = recs_full.select("rid", "source", "bks", "toks")
         records = self.records.upsert(recs_a, ["rid"], batch_id)
 
-        # same LSH feature as the batch pipeline: MinHash over word 2-shingles
+        # same LSH feature as the batch pipeline: MinHash over word 3-shingles
         bands_a = recs_full.select(
             "rid",
             F.posexplode(
                 F.transform(
-                    self._minhash(F.col("sg2")), lambda h: F.xxhash64(h.cast("string"))
+                    self._minhash(F.col("sg")), lambda h: F.xxhash64(h.cast("string"))
                 )
             ).alias("band_idx", "band_hash"),
         )
@@ -171,37 +187,46 @@ class IncrementalClusteringJob:
         # size crosses max_block_size (either direction), every member's edge
         # set must be re-derived so the final edge set equals the batch
         # pipeline's on the final records (prefix pairs appear/disappear).
-        changed_blocks = recs_a.select("block_key")
+        def _exploded(df: DataFrame) -> DataFrame:
+            return df.select("rid", F.explode("bks").alias("bk"))
+
+        changed_blocks = _exploded(recs_a).select("bk")
         if old_records is not None:
             changed_blocks = changed_blocks.union(
-                old_records.join(
-                    F.broadcast(affected.withColumnRenamed("conv_id", "rid")),
-                    "rid",
-                    "left_semi",
-                ).select("block_key")
+                _exploded(
+                    old_records.join(
+                        F.broadcast(affected.withColumnRenamed("conv_id", "rid")),
+                        "rid",
+                        "left_semi",
+                    )
+                ).select("bk")
             )
         changed_blocks = changed_blocks.distinct()
         new_sz = (
-            records.groupBy("block_key")
+            _exploded(records)
+            .groupBy("bk")
             .agg(F.count("*").alias("n_new"))
-            .join(F.broadcast(changed_blocks), "block_key", "left_semi")
+            .join(F.broadcast(changed_blocks), "bk", "left_semi")
         )
         if old_records is not None:
             old_sz = (
-                old_records.groupBy("block_key")
+                _exploded(old_records)
+                .groupBy("bk")
                 .agg(F.count("*").alias("n_old"))
-                .join(F.broadcast(changed_blocks), "block_key", "left_semi")
+                .join(F.broadcast(changed_blocks), "bk", "left_semi")
             )
-            sz = new_sz.join(old_sz, "block_key", "left").fillna({"n_old": 0})
+            sz = new_sz.join(old_sz, "bk", "left").fillna({"n_old": 0})
         else:
             sz = new_sz.withColumn("n_old", F.lit(0))
         cap = self.max_block_size
         crossed = sz.filter(
             (F.col("n_old") <= cap) != (F.col("n_new") <= cap)
-        ).select("block_key")
+        ).select("bk")
         extra = (
-            records.join(F.broadcast(crossed), "block_key", "left_semi")
+            _exploded(records)
+            .join(F.broadcast(crossed), "bk", "left_semi")
             .select("rid")
+            .distinct()
             .join(
                 F.broadcast(affected.withColumnRenamed("conv_id", "rid")),
                 "rid",
@@ -216,17 +241,18 @@ class IncrementalClusteringJob:
 
         # 4b. candidates touching the re-derive set (prefix blocks ∪ LSH
         # bands, against the full index), oversized blocks excluded
+        exploded_all = _exploded(records).localCheckpoint(eager=True)
         ok_blocks = (
-            records.groupBy("block_key")
+            exploded_all.groupBy("bk")
             .agg(F.count("*").alias("_bn"))
             .filter(F.col("_bn") <= cap)
-            .select("block_key")
+            .select("bk")
         )
-        blk = records.select("rid", "block_key").join(ok_blocks, "block_key", "left_semi")
+        blk = exploded_all.join(F.broadcast(ok_blocks), "bk", "left_semi")
         p_block = (
             blk.join(F.broadcast(a_ids.withColumnRenamed("x", "rid")), "rid", "left_semi")
             .alias("a")
-            .join(blk.alias("b"), F.col("a.block_key") == F.col("b.block_key"))
+            .join(blk.alias("b"), F.col("a.bk") == F.col("b.bk"))
             .filter(F.col("a.rid") != F.col("b.rid"))
             .select(
                 F.least("a.rid", "b.rid").alias("a_rid"),
