@@ -470,10 +470,14 @@ FROM {T_SQL} GROUP BY text HAVING count(*) > 1
 
 def _doc_shingles(df: DataFrame) -> DataFrame:
     tk = F.split(F.col("text"), " ")
+    # try_element_at: docs shorter than the shingle width yield one truncated
+    # shingle (ANSI element_at would throw; concat_ws skips the NULLs) —
+    # matches the DuckDB oracle's concat_ws, pinned by
+    # tests/test_functions.py::test_short_doc_shingle_parity.
     sh = F.transform(
         F.sequence(F.lit(1), F.greatest(F.lit(1), F.size(tk) - 2)),
         lambda i: F.concat_ws(
-            " ", F.element_at(tk, i), F.element_at(tk, i + 1), F.element_at(tk, i + 2)
+            " ", F.try_element_at(tk, i), F.try_element_at(tk, i + 1), F.try_element_at(tk, i + 2)
         ),
     )
     return df.withColumn("sg", F.array_distinct(sh))
@@ -481,8 +485,12 @@ def _doc_shingles(df: DataFrame) -> DataFrame:
 
 _DOC_SHINGLES_SQL = """
 sh AS (
+  -- concat_ws skips NULL out-of-range elements in BOTH engines, so a
+  -- 2-token doc yields the shingle 'a b' here exactly like Spark's
+  -- concat_ws over element_at (|| would yield NULL) — pinned by
+  -- tests/test_functions.py::test_short_doc_shingle_parity.
   SELECT doc_id,
-    list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+    list_distinct([concat_ws(' ', tk[i], tk[i+1], tk[i+2])
                    for i in range(1, greatest(1, len(tk)-2) + 1)]) AS sg
   FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
 )
@@ -946,12 +954,16 @@ def q_conv_greedy_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = pairs.withColumn(
         "sim", token_set_jaccard(F.col("a_toks"), F.col("b_toks"))
     ).filter(F.col("sim") >= DEFAULT_THRESHOLD)
-    return greedy_merge(
+    merged = greedy_merge(
         scored,
         block_col="a_bk",
         threshold=DEFAULT_THRESHOLD,
         max_sources=5,
-    ).dropDuplicates(["rid"]).orderBy("rid")
+    )
+    # A rid in several blocks can get different block-local cluster ids;
+    # min() makes the cross-block reconciliation deterministic (dropDuplicates
+    # would keep an arbitrary one).
+    return merged.groupBy("rid").agg(F.min("cluster_rid").alias("cluster_rid"))
 
 
 def q_conv_hungarian(spark: SparkSession, sf_dir: str) -> DataFrame:

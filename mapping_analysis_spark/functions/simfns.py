@@ -115,7 +115,13 @@ def _min_perm(x: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
     # (a_hi*2^31 + a_lo) * x  mod p  ==  ((a_hi*x mod p) * 2^31 + a_lo*x) mod p
     hi = (a_hi[:, None] * x[None, :]) % p  # a_hi<2^30, x<2^32 → <2^62 OK
     lo = (a_lo[:, None] * x[None, :]) % p
-    v = ((hi << 31) % p + lo + b[:, None]) % p
+    # hi*2^31 mod p without overflow: hi < p = 2^61-1 so hi<<31 would wrap
+    # int64. Split hi = h1*2^30 + h0; since 2^61 ≡ 1 (mod p, Mersenne),
+    # hi*2^31 ≡ h1 + (h0 << 31); h0 < 2^30 so every term stays < 2^61 and the
+    # three-term sum < 3*2^61 < 2^63. Verified against big-int modmul in
+    # tests/test_functions.py::test_min_perm_exact.
+    hi_shifted = (hi >> 30) + ((hi & ((1 << 30) - 1)) << 31)
+    v = (hi_shifted % p + lo + b[:, None]) % p
     return v.min(axis=1)
 
 

@@ -51,10 +51,14 @@ class UnionFind:
         self.parent: dict = {}
 
     def find(self, x):
-        p = self.parent.setdefault(x, x)
-        if p != x:
-            self.parent[x] = p = self.find(p)
-        return p
+        # Iterative with path halving: a chain-shaped component (near-dup
+        # chains, LSH share graphs) can exceed Python's recursion limit.
+        parent = self.parent
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
 
     def union(self, a, b) -> None:
         ra, rb = self.find(a), self.find(b)
@@ -73,38 +77,41 @@ def connected_components(
     src: str = "a",
     dst: str = "b",
     max_iter: int = 50,
-    driver_threshold: int = 2_000_000,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """Connected components → (node, component = min reachable id).
 
     Scale-aware hybrid: after blocking+thresholding the *edge* set is orders
-    of magnitude smaller than the input (pairs within tiny entity groups), so
-    when it fits comfortably on the driver we collect it and run union-find
-    in O(E α(E)) — one job, no iteration. Above the threshold we fall back to
-    distributed min-id label propagation (one shuffle per superstep,
-    localCheckpoint lineage cuts); for adversarially deep graphs use
-    ``large_star_small_star`` (O(log n) rounds).
+    of magnitude smaller than the input (pairs within tiny entity groups).
+    Micro-batch-sized edge sets (<= driver_threshold) are collected in ONE
+    job (``limit(T+1).toPandas()`` doubles as the size probe — no separate
+    ``count()`` barrier) and union-found in O(E α(E)). Anything larger runs
+    the distributed O(log n)-round ``large_star_small_star`` — the default
+    100 TB path, so driver time never grows with data size.
     """
-    n_edges = edges.limit(driver_threshold + 1).count()
-    if n_edges <= driver_threshold:
-        # Arrow both ways: toPandas for the collect, createDataFrame(pdf) for
-        # the result (a plain python-list createDataFrame pickles row-by-row —
-        # measured as a ~26 s single-core stall at 125k components).
-        import pandas as pd
-
-        pdf = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).toPandas()
-        uf = UnionFind()
-        for a, b in zip(pdf["a"], pdf["b"]):
-            uf.union(a, b)
-        comp = uf.components()
-        spark = edges.sparkSession
-        if not comp:
-            return spark.createDataFrame([], "node string, comp string")
-        out = pd.DataFrame(
-            {"node": list(comp.keys()), "comp": list(comp.values())}
-        )
-        return spark.createDataFrame(out)
-    return _label_propagation_cc(edges, src, dst, max_iter)
+    dtype = dict(zip(edges.schema.names, edges.schema.fields))[src].dataType
+    out_schema = StructType(
+        [StructField("node", dtype, True), StructField("comp", dtype, True)]
+    )
+    # Arrow both ways: toPandas for the collect, createDataFrame(pdf) for the
+    # result (a plain python-list createDataFrame pickles row-by-row —
+    # measured as a ~26 s single-core stall at 125k components).
+    pdf = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .limit(driver_threshold + 1)
+        .toPandas()
+    )
+    spark = edges.sparkSession
+    if len(pdf) > driver_threshold:
+        return large_star_small_star(edges, src, dst, max_iter)
+    uf = UnionFind()
+    for a, b in zip(pdf["a"], pdf["b"]):
+        uf.union(a, b)
+    comp = uf.components()
+    if not comp:
+        return spark.createDataFrame([], out_schema)
+    out = pd.DataFrame({"node": list(comp.keys()), "comp": list(comp.values())})
+    return spark.createDataFrame(out, schema=out_schema)
 
 
 def _label_propagation_cc(

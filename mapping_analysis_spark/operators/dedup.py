@@ -32,9 +32,11 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def word_shingles(df: DataFrame, text_col: str = "text", width: int = 3, out: str = "sg") -> DataFrame:
     """Distinct word w-shingles as a native expression (no Python)."""
     tk = F.split(F.col(text_col), " ")
+    # try_element_at: short docs yield one truncated shingle instead of an
+    # ANSI out-of-bounds error (concat_ws skips the NULLs).
     sh = F.transform(
         F.sequence(F.lit(1), F.greatest(F.lit(1), F.size(tk) - (width - 1))),
-        lambda i: F.concat_ws(" ", *[F.element_at(tk, i + j) for j in range(width)]),
+        lambda i: F.concat_ws(" ", *[F.try_element_at(tk, i + j) for j in range(width)]),
     )
     return df.withColumn(out, F.array_distinct(sh))
 

@@ -82,10 +82,12 @@ def doc_shingles(tokens_in_order, width: int = DEFAULT_SHINGLE_WIDTH) -> "F.Colu
     argument into every ``element_at``, turning shingling O(n²) per document
     (measured 94 s vs 1.6 s on 25k conversations)."""
     tk = tokens_in_order
+    # try_element_at: short docs yield one truncated shingle instead of an
+    # ANSI out-of-bounds error (concat_ws skips the NULLs).
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.lit(1), F.size(tk) - (width - 1))),
-            lambda i: F.concat_ws(" ", *[F.element_at(tk, i + j) for j in range(width)]),
+            lambda i: F.concat_ws(" ", *[F.try_element_at(tk, i + j) for j in range(width)]),
         )
     )
 

@@ -133,6 +133,77 @@ def test_simhash_near_duplicates_close(spark):
     assert ham(h[0], h[1]) <= 16
 
 
+def test_min_perm_exact():
+    """The MinHash modmul must equal exact big-int (a*x+b) mod p — the
+    universal-hash guarantee the LSH miss-probability math assumes."""
+    import numpy as np
+
+    from mapping_analysis_spark.functions.simfns import MERSENNE_P, _min_perm
+
+    rng = np.random.default_rng(7)
+    a = rng.integers(1, MERSENNE_P, size=16, dtype=np.int64)
+    b = rng.integers(0, MERSENNE_P, size=16, dtype=np.int64)
+    # include the overflow-triggering regime: hi >= 2^32 happens for most x
+    x = rng.integers(0, 1 << 32, size=64, dtype=np.int64)
+    got = _min_perm(x, a, b)
+    for i in range(16):
+        want = min((int(a[i]) * int(v) + int(b[i])) % MERSENNE_P for v in x)
+        assert int(got[i]) == want
+
+
+def test_union_find_deep_chain():
+    """A path-shaped component longer than the recursion limit must not
+    crash (find is iterative with path halving)."""
+    from mapping_analysis_spark.operators.clustering import UnionFind
+
+    uf = UnionFind()
+    n = 20000
+    for i in range(n - 1, 0, -1):  # descending order builds the worst chain
+        uf.union(i, i + 1)
+    comps = uf.components()
+    assert set(comps.values()) == {1}
+
+
+def test_connected_components_preserves_id_dtype(spark):
+    """Empty and non-empty results must agree on the id column type
+    (callers union/join on it)."""
+    from pyspark.sql.types import LongType
+
+    from mapping_analysis_spark.operators.clustering import connected_components
+
+    edges = spark.createDataFrame([(1, 2)], "a long, b long")
+    empty = spark.createDataFrame([], "a long, b long")
+    got = connected_components(edges)
+    got_empty = connected_components(empty)
+    assert got.schema["node"].dataType == LongType()
+    assert got_empty.schema == got.schema
+    assert {(r.node, r.comp) for r in got.collect()} == {(1, 1), (2, 1)}
+
+
+def test_short_doc_shingle_parity(spark):
+    """Documents shorter than the shingle width: Spark's concat_ws skips the
+    NULL out-of-range element_at; the DuckDB oracle must do the same."""
+    import duckdb as _duckdb
+
+    from __spark_entry__ import _DOC_SHINGLES_SQL, _doc_shingles
+
+    rows = [(1, "a b"), (2, "only"), (3, "a b c d")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: sorted(r.sg)
+        for r in _doc_shingles(df).select("doc_id", "sg").collect()
+    }
+    con = _duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id INT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = {
+        r[0]: sorted(r[1])
+        for r in con.execute(f"WITH {_DOC_SHINGLES_SQL} SELECT doc_id, sg FROM sh").fetchall()
+    }
+    assert got == want
+    assert got[1] == ["a b"]
+
+
 def test_token_jaccard_values(spark):
     df = spark.createDataFrame(
         [(["a", "b"], ["b", "c"]), (["a"], ["a"]), ([], [])],
