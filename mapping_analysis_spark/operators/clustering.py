@@ -78,6 +78,7 @@ def connected_components(
     dst: str = "b",
     max_iter: int = 50,
     driver_threshold: int = 100_000,
+    input_distinct: bool = False,
 ) -> DataFrame:
     """Connected components → (node, component = min reachable id).
 
@@ -103,7 +104,9 @@ def connected_components(
     )
     spark = edges.sparkSession
     if len(pdf) > driver_threshold:
-        return large_star_small_star(edges, src, dst, max_iter)
+        return large_star_small_star(
+            edges, src, dst, max_iter, input_distinct=input_distinct
+        )
     uf = UnionFind()
     for a, b in zip(pdf["a"], pdf["b"]):
         uf.union(a, b)
@@ -161,7 +164,11 @@ def _label_propagation_cc(
 
 
 def large_star_small_star(
-    edges: DataFrame, src: str = "a", dst: str = "b", max_iter: int = 30
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    max_iter: int = 30,
+    input_distinct: bool = False,
 ) -> DataFrame:
     """Kiveris et al. alternating large-star/small-star CC — O(log n) rounds,
     the 100 TB-scale path. Returns (node, component).
@@ -170,11 +177,25 @@ def large_star_small_star(
     small-star: every node connects its smaller-or-equal neighbors to the min.
     Fixpoint → every node points at its component's min id.
     """
-    e = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .localCheckpoint(eager=True)
+    def _sig(df: DataFrame) -> tuple:
+        """Order-independent set signature: (count, sum of row hashes).
+        After dropDuplicates the edge list is a set, so equal signatures ⟺
+        equal sets up to a 2^-64 hash-sum collision — one cheap aggregate
+        per round instead of two anti-join jobs."""
+        row = df.agg(
+            F.count("*").alias("n"),
+            # decimal accumulator: int64 sum of 64-bit hashes overflows ANSI
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
+        F.col("u") != F.col("v")
     )
+    if not input_distinct:  # callers that pre-deduped skip this shuffle
+        e = e.dropDuplicates()
+    e = e.localCheckpoint(eager=False)
+    prev_sig = _sig(e)  # materializes the checkpoint — one job
     for _ in range(max_iter):
         # ---- large-star ----
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -184,12 +205,12 @@ def large_star_small_star(
             .withColumn("m", F.least(F.col("mn"), F.col("u")))
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .dropDuplicates()
         )
-        # ---- small-star ----
+        # ---- small-star ---- (no dedup shuffles mid-round: min() is
+        # duplicate-insensitive and the final dropDuplicates cleans the set)
         ss_in = ls.select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-        ).dropDuplicates()
+        )
         nbr_min2 = ss_in.groupBy("u").agg(F.min("v").alias("mn"))
         ss = (
             ss_in.join(nbr_min2, "u")
@@ -201,22 +222,25 @@ def large_star_small_star(
             .union(ss.select(F.col("self_u").alias("u"), F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
             .dropDuplicates()
-            .localCheckpoint(eager=True)
+            # lazy: the signature aggregate below is the materializing
+            # action, so each round runs ONE job (eager would run two)
+            .localCheckpoint(eager=False)
         )
-        converged = (
-            new_e.exceptAll(e).limit(1).count() == 0 and e.exceptAll(new_e).limit(1).count() == 0
-        )
+        sig = _sig(new_e)
         e = new_e
-        if converged:
+        if sig == prev_sig:
             break
+        prev_sig = sig
     comp = e.select(F.col("u").alias("node"), F.col("v").alias("comp"))
     roots = comp.select(F.col("comp").alias("node"), F.col("comp"))
     return comp.union(roots).groupBy("node").agg(F.min("comp").alias("comp"))
 
 
-def assign_cluster_ids(nodes: DataFrame, edges: DataFrame, id_col: str) -> DataFrame:
+def assign_cluster_ids(
+    nodes: DataFrame, edges: DataFrame, id_col: str, edges_distinct: bool = False
+) -> DataFrame:
     """nodes + CC over edges → (id_col, cluster_id); singletons keep own id."""
-    comp = connected_components(edges)
+    comp = connected_components(edges, input_distinct=edges_distinct)
     return (
         nodes.join(comp.withColumnRenamed("node", id_col), id_col, "left")
         .withColumn("cluster_id", F.coalesce(F.col("comp"), F.col(id_col)))

@@ -152,6 +152,59 @@ def conversation_records(transcripts: DataFrame) -> DataFrame:
     ).withColumn("smask", F.expr("shiftleft(1, source)"))
 
 
+def featurize_records(records: DataFrame) -> DataFrame:
+    """Featurized record table (rid, source, early, toks, sg), eagerly
+    materialized — it feeds many consumers (block sizes, self-join, MinHash,
+    payload joins).
+
+    doc is already normalized → tokens = split + drop empties (identical to
+    distinct_tokens(doc) since normalize is idempotent, but ~2x cheaper).
+    Tokens and shingles are hashed to int64 JVM-side: downstream joins then
+    shuffle ~10x fewer bytes and the MinHash kernel skips per-shingle
+    utf8+crc32 — this workload is memory-bandwidth-bound at high core
+    counts, so bytes moved ≈ wall time (collision odds 2^-64 per token
+    pair are irrelevant to set sizes).
+    """
+    rec = records.withColumn("_tk", F.split(F.col("doc"), " "))
+    rec = rec.withColumn(
+        "toks",
+        F.array_distinct(
+            F.transform(
+                F.filter(F.col("_tk"), lambda t: t != F.lit("")), lambda t: F.xxhash64(t)
+            )
+        ),
+    )
+    rec = rec.withColumn(
+        "sg",
+        F.array_distinct(
+            F.transform(
+                doc_shingles(F.col("_tk")),
+                lambda s: F.pmod(F.xxhash64(s), F.lit(4294967296)),
+            )
+        ),
+    ).drop("_tk")
+    rec = rec.select("rid", "source", "early", "toks", "sg")
+    return rec.localCheckpoint(eager=True)
+
+
+def pruned_block_rows(
+    rec: DataFrame,
+    block_length: int = DEFAULT_BLOCK_LENGTH,
+    max_block_size: int = DEFAULT_MAX_BLOCK_SIZE,
+    payload: list[str] | None = None,
+) -> DataFrame:
+    """(bk, rid, source[, payload...]) rows with stop-blocks pruned, eagerly
+    materialized — the block self-join consumes it on BOTH sides, and
+    without the checkpoint Catalyst re-executes the explode+groupBy+semi-join
+    subtree twice (measured 2x the stage time at sf0.5)."""
+    cols = ["rid", "source"] + (payload or [])
+    blk = rec.select(*cols, F.explode(block_keys_array(block_length)).alias("bk"))
+    sizes = blk.groupBy("bk").agg(F.count("*").alias("_bn"))
+    ok_blocks = sizes.filter(F.col("_bn") <= max_block_size).select("bk")
+    slim = blk.join(F.broadcast(ok_blocks), "bk", "left_semi")
+    return slim.localCheckpoint(eager=True)
+
+
 def candidate_pairs(
     records: DataFrame,
     block_length: int = DEFAULT_BLOCK_LENGTH,
@@ -178,39 +231,8 @@ def candidate_pairs(
     (BlockSplit semantics) remains for deployments that must keep oversized
     blocks instead of pruning them.
     """
-    # doc is already normalized → tokens = split + drop empties (identical to
-    # distinct_tokens(doc) since normalize is idempotent, but ~2x cheaper).
-    # Tokens and shingles are hashed to int64 JVM-side: the verify join then
-    # shuffles ~10x fewer bytes and the MinHash kernel skips per-shingle
-    # utf8+crc32 — this workload is memory-bandwidth-bound at high core
-    # counts, so bytes moved ≈ wall time (collision odds 2^-64 per token
-    # pair are irrelevant to set sizes).
-    rec = records.withColumn("_tk", F.split(F.col("doc"), " "))
-    rec = rec.withColumn(
-        "toks",
-        F.array_distinct(
-            F.transform(
-                F.filter(F.col("_tk"), lambda t: t != F.lit("")), lambda t: F.xxhash64(t)
-            )
-        ),
-    )
-    rec = rec.withColumn(
-        "sg",
-        F.array_distinct(
-            F.transform(
-                doc_shingles(F.col("_tk")),
-                lambda s: F.pmod(F.xxhash64(s), F.lit(4294967296)),
-            )
-        ),
-    ).drop("_tk")
-    rec = rec.select("rid", "source", "early", "toks", "sg")
-    # eager: the featurized records feed 5 consumers (sizes, self-join,
-    # minhash, both payload joins) — materialize once
-    rec = rec.localCheckpoint(eager=True)
-    blk = multi_block_keys(rec, block_length)
-    sizes = blk.groupBy("bk").agg(F.count("*").alias("_bn"))
-    ok_blocks = sizes.filter(F.col("_bn") <= max_block_size).select("bk")
-    slim = blk.join(F.broadcast(ok_blocks), "bk", "left_semi")
+    rec = featurize_records(records)
+    slim = pruned_block_rows(rec, block_length, max_block_size)
     if salted:
         bp = salted_block_pairs(slim, block_col="bk", cap=cap).select("a_rid", "b_rid")
     else:
@@ -251,6 +273,95 @@ def score_conversation_pairs(pairs: DataFrame) -> DataFrame:
     ).drop("a_toks", "b_toks")
 
 
+def jaccard_ge(a_toks, b_toks, threshold: float):
+    """Boolean column: token-set Jaccard(a, b) >= threshold, with
+    ``array_intersect`` evaluated exactly ONCE.
+
+    ``token_set_jaccard(...) >= t`` references the intersect size 3-4 times
+    after projection collapse and Catalyst re-evaluates it each time
+    (measured 40 s vs 8 s on 4.7M pairs at sf0.5). Algebra fixes it:
+    J = i/(sa+sb-i) >= t  ⟺  i*q >= p*(sa+sb-i) with t = p/q. The fraction
+    is ``Fraction(t).limit_denominator(1e6)`` — within 1e-12 of the double,
+    and ratios of small ints (token-set sizes) are spaced >= 1/u², so no
+    real pair's Jaccard can land between the fraction and the double: the
+    integer comparison decides every pair exactly as the IEEE
+    divide-then-compare does. All int64, no overflow (i,u <= ~1e5).
+    """
+    from fractions import Fraction
+
+    fr = Fraction(threshold).limit_denominator(1_000_000)
+    p, q = fr.numerator, fr.denominator
+    # i*q >= p*(s-i)  ⟺  i*(p+q) >= p*s — the intersect appears exactly once
+    # (each extra reference is a full re-evaluation after projection collapse)
+    inter = F.size(F.array_intersect(a_toks, b_toks))
+    s = F.size(a_toks) + F.size(b_toks)
+    return (s > F.lit(0)) & (inter * F.lit(p + q) >= F.lit(p) * s)
+
+
+def match_edges(
+    rec: DataFrame,
+    threshold: float = DEFAULT_THRESHOLD,
+    block_length: int = DEFAULT_BLOCK_LENGTH,
+    lsh_bands: int = DEFAULT_LSH_BANDS,
+    max_block_size: int = DEFAULT_MAX_BLOCK_SIZE,
+) -> DataFrame:
+    """Above-threshold match edges (a, b) from featurized records — the
+    flagship's hot path, scored *inside* the joins.
+
+    Identical pair set to ``candidate_pairs`` + ``score`` + filter (the
+    score of a pair doesn't depend on which key produced it, so
+    score-then-dedup ≡ dedup-then-score), but a fundamentally cheaper plan:
+    the block self-join carries token arrays through the join and computes
+    Jaccard in the same stage, so the ~97% of pairs below threshold die
+    inside the join task and the fat arrays are never shuffled again
+    (the dedup-ids-then-rejoin-payload plan moved ~11 GB of token arrays at
+    sf0.5 to keep 138k edges). LSH-band candidates (id-only) are anti-joined
+    against nothing — they are few; their payload join is cheap.
+    """
+    slim = pruned_block_rows(rec, block_length, max_block_size, payload=["toks"])
+    a = slim.select(
+        F.col("bk"), F.col("rid").alias("a_rid"), F.col("source").alias("a_source"),
+        F.col("toks").alias("a_toks"),
+    )
+    b = slim.select(
+        F.col("bk"), F.col("rid").alias("b_rid"), F.col("source").alias("b_source"),
+        F.col("toks").alias("b_toks"),
+    )
+    e_prefix = (
+        a.join(
+            b.hint("shuffle_hash"),
+            (a.bk == b.bk) & (F.col("a_rid") < F.col("b_rid"))
+            & (F.col("a_source") != F.col("b_source")),
+        )
+        .filter(jaccard_ge(F.col("a_toks"), F.col("b_toks"), threshold))
+        .select("a_rid", "b_rid")
+    )
+    edges = e_prefix
+    if lsh_bands:
+        mh = make_minhash_udf(num_hashes=lsh_bands, shingle_width=1)
+        sig = rec.select("rid", mh(F.col("sg")).alias("minhash"))
+        lp = lsh_band_pairs(sig, bands=lsh_bands, rows_per_band=1)
+        ra = rec.select(
+            F.col("rid").alias("a_rid"), F.col("source").alias("a_source"),
+            F.col("toks").alias("a_toks"),
+        )
+        rb = rec.select(
+            F.col("rid").alias("b_rid"), F.col("source").alias("b_source"),
+            F.col("toks").alias("b_toks"),
+        )
+        e_lsh = (
+            lp.join(ra.hint("shuffle_hash"), "a_rid")
+            .join(rb.hint("shuffle_hash"), "b_rid")
+            .filter(F.col("a_source") != F.col("b_source"))
+            .filter(jaccard_ge(F.col("a_toks"), F.col("b_toks"), threshold))
+            .select("a_rid", "b_rid")
+        )
+        edges = edges.union(e_lsh)
+    return edges.dropDuplicates(["a_rid", "b_rid"]).select(
+        F.col("a_rid").alias("a"), F.col("b_rid").alias("b")
+    )
+
+
 def match_conversations(
     transcripts: DataFrame,
     threshold: float = DEFAULT_THRESHOLD,
@@ -258,17 +369,27 @@ def match_conversations(
     salted: bool = False,
     cap: int = 64,
 ) -> DataFrame:
-    """Full batch pipeline → (conv_id, cluster_id); singletons keep own id."""
-    rec = conversation_records(transcripts)
-    pairs = candidate_pairs(rec, block_length=block_length, salted=salted, cap=cap)
-    scored = score_conversation_pairs(pairs)
-    edges = scored.filter(F.col("sim") >= F.lit(threshold)).select(
-        F.col("a_rid").alias("a"), F.col("b_rid").alias("b")
-    )
-    # materialize once: CC consumes the edge set twice (count + collect/loop)
+    """Full batch pipeline → (conv_id, cluster_id); singletons keep own id.
+
+    ``salted=True`` routes pair generation through the triangle-salted
+    BLOCK_SPLIT path (kept for deployments that retain oversized blocks);
+    the default path scores in-join (see ``match_edges``).
+    """
+    rec0 = conversation_records(transcripts)
+    if salted:
+        pairs = candidate_pairs(rec0, block_length=block_length, salted=True, cap=cap)
+        scored = score_conversation_pairs(pairs)
+        edges = scored.filter(F.col("sim") >= F.lit(threshold)).select(
+            F.col("a_rid").alias("a"), F.col("b_rid").alias("b")
+        )
+    else:
+        rec = featurize_records(rec0)
+        edges = match_edges(rec, threshold=threshold, block_length=block_length)
+        rec0 = rec  # nodes come from the checkpoint — no transcript re-agg
+    # materialize once: CC consumes the edge set twice (probe-collect + loop)
     edges = edges.localCheckpoint(eager=True)
-    nodes = rec.select(F.col("rid").alias("conv_id"))
-    return assign_cluster_ids(nodes, edges, "conv_id")
+    nodes = rec0.select(F.col("rid").alias("conv_id"))
+    return assign_cluster_ids(nodes, edges, "conv_id", edges_distinct=True)
 
 
 def dedup_conversations(
