@@ -337,10 +337,84 @@ FROM assign a JOIN sizes s ON a.cluster_id = s.cluster_id
 
 
 def q_conv_dedup_full(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship full pipeline (prefix blocking ∪ MinHash-LSH recall path +
-    skew salting). LSH banding is not SQL-expressible → rows-only check;
-    quality vs planted gold is asserted in tests/test_pipeline_batch.py."""
+    """Flagship full pipeline (prefix blocking ∪ MinHash-LSH recall path).
+
+    Hard-oracled: the LSH band table (rid, band_idx, band_hash) is
+    materialized once to a shared parquet by a pure-Python bit-exact replica
+    of the engine's featurization (``data/oracle_features.py`` — pinned
+    against Spark in tests), and the DuckDB oracle replays banding, the
+    prefix path, Jaccard verification and the transitive closure in SQL."""
     return dedup_conversations(_t(spark, sf_dir))
+
+
+_BANDS_SQL = None  # set lazily below (generation takes a few seconds once)
+
+
+def _bands_parquet_sql() -> str:
+    from mapping_analysis_spark.data.oracle_features import ensure_band_table
+
+    return f"read_parquet('{ensure_band_table('/root/testdata/sf0.01')}')"
+
+
+def _sql_conv_dedup_full() -> str:
+    return f"""
+WITH RECURSIVE {_REC_SQL},
+rtk AS MATERIALIZED (
+  SELECT rid, source, list_distinct({sqlgen.tokens_sql('doc')}) AS toks FROM rec
+),
+blk0 AS MATERIALIZED (SELECT rid, source, unnest({_BKS_SQL}) AS bk FROM rec),
+bsz AS (SELECT bk, count(*) AS bn FROM blk0 GROUP BY bk),
+blk AS (SELECT blk0.* FROM blk0 JOIN bsz USING (bk) WHERE bn <= {DEFAULT_MAX_BLOCK_SIZE}),
+prefix_pairs AS (
+  SELECT DISTINCT a.rid AS a_rid, b.rid AS b_rid
+  FROM blk a JOIN blk b ON a.bk = b.bk AND a.rid < b.rid AND a.source <> b.source
+),
+bands AS (SELECT * FROM {_bands_parquet_sql()}),
+band_pairs AS (
+  SELECT DISTINCT a.rid AS a_rid, b.rid AS b_rid
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.rid < b.rid
+),
+band_cs AS (  -- cross-source only (the engine filters both paths)
+  SELECT p.a_rid, p.b_rid FROM band_pairs p
+  JOIN rtk ra ON ra.rid = p.a_rid JOIN rtk rb ON rb.rid = p.b_rid
+  WHERE ra.source <> rb.source
+),
+pair_ids AS MATERIALIZED (
+  SELECT a_rid, b_rid FROM prefix_pairs UNION SELECT a_rid, b_rid FROM band_cs
+),
+tokx AS MATERIALIZED (SELECT rid, unnest(toks) AS tok FROM rtk),
+lens AS (SELECT rid, len(toks) AS n FROM rtk),
+isz AS MATERIALIZED (
+  SELECT p.a_rid, p.b_rid, count(*) AS inter
+  FROM pair_ids p
+  JOIN tokx ta ON ta.rid = p.a_rid
+  JOIN tokx tb ON tb.rid = p.b_rid AND tb.tok = ta.tok
+  GROUP BY p.a_rid, p.b_rid
+),
+edges AS MATERIALIZED (
+  SELECT p.a_rid AS a, p.b_rid AS b
+  FROM pair_ids p
+  JOIN lens la ON la.rid = p.a_rid JOIN lens lb ON lb.rid = p.b_rid
+  LEFT JOIN isz i ON i.a_rid = p.a_rid AND i.b_rid = p.b_rid
+  WHERE la.n + lb.n - coalesce(i.inter, 0) > 0
+    AND CAST(coalesce(i.inter, 0) AS DOUBLE)
+        / (la.n + lb.n - coalesce(i.inter, 0)) >= {DEFAULT_THRESHOLD}
+),
+sym AS MATERIALIZED (SELECT a AS u, b AS v FROM edges UNION SELECT b, a FROM edges),
+reach AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+),
+comp AS (SELECT u AS node, least(min(v), u) AS cluster_id FROM reach GROUP BY u),
+assign AS (
+  SELECT rid AS conv_id, coalesce(comp.cluster_id, rid) AS cluster_id
+  FROM rec LEFT JOIN comp ON rec.rid = comp.node
+),
+sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM assign GROUP BY cluster_id)
+SELECT a.conv_id, a.cluster_id, s.cluster_size FROM assign a JOIN sizes s USING (cluster_id)
+"""
 
 
 def q_conv_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -939,11 +1013,53 @@ SELECT u AS rid, least(min(v), u) AS idf_block FROM reach GROUP BY u
 """
 
 
+_GREEDY_PAIRS_SQL = None  # composed lazily (needs _BLOCKED_PAIRS_SQL)
+
+
+def _greedy_pairs_sql() -> str:
+    """Per-block scored pairs with source masks — the greedy replay input."""
+    return f"""
+WITH {_BLOCKED_PAIRS_SQL}
+SELECT k.bk AS block, k.a_rid AS a, k.b_rid AS b, j.sim,
+       CAST(1 << ra.source AS INT) AS a_smask,
+       CAST(1 << rb.source AS INT) AS b_smask
+FROM keyed_pairs k
+JOIN jac j ON j.a_rid = k.a_rid AND j.b_rid = k.b_rid
+JOIN rec ra ON ra.rid = k.a_rid
+JOIN rec rb ON rb.rid = k.b_rid
+WHERE j.sim >= {DEFAULT_THRESHOLD}
+"""
+
+
+def _ensure_greedy_expected() -> str:
+    """Run the independent greedy replay once for sf0.01 and cache the
+    expected (rid, cluster_rid) parquet the oracle reads."""
+    import duckdb
+
+    from mapping_analysis_spark.data.oracle_features import greedy_replay
+
+    out = os.path.join(SYNTH_ROOT, "sf0.01", "greedy_expected.parquet")
+    if os.path.exists(out):
+        return out
+    pairs = duckdb.connect().execute(_greedy_pairs_sql()).df()
+    expected = greedy_replay(pairs, threshold=DEFAULT_THRESHOLD, max_sources=5)
+    tmp = out + ".tmp"
+    expected.to_parquet(tmp, index=False)
+    os.replace(tmp, out)
+    return out
+
+
 def q_conv_greedy_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Block-local greedy agglomerative merge (the reference's delta-iteration
     kernel, DeltaIterateMergeMusicStepFunction.java:104-137) under source
-    restrictions. Iterative tie-broken merging is not SQL-expressible →
-    rows-only check; semantics pinned by tests/test_operators.py."""
+    restrictions.
+
+    Hard-oracled via an executable oracle: an independent single-threaded
+    replay of the same published semantics (``data/oracle_features.py::
+    greedy_replay`` — separate code from the distributed applyInPandas
+    kernel) materializes the expected assignment to a shared parquet; the
+    DuckDB side reads it. The iterative tie-broken loop itself is not
+    expressible in one SQL query."""
     from mapping_analysis_spark.operators.blocking import block_pairs
     from mapping_analysis_spark.operators.clustering import greedy_merge
 
@@ -966,22 +1082,81 @@ def q_conv_greedy_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.groupBy("rid").agg(F.min("cluster_rid").alias("cluster_rid"))
 
 
+_HUNGARIAN_THRESHOLD = 0.5
+_HUNGARIAN_MAX_EDGES = 12
+
+
 def q_conv_hungarian(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-block optimal 1:1 assignment (HungarianAlgorithmReduceFunction
-    semantics) — pure-numpy O(n³) Hungarian in applyInPandas. Optimal
-    assignment is not SQL-expressible → rows-only check; optimality pinned
-    by tests/test_operators.py."""
+    semantics) — pure-numpy O(n³) Hungarian in applyInPandas.
+
+    Hard-oracled: emits each block's optimal total similarity. Similarities
+    are quantized to integer millionths BEFORE the assignment, so the engine
+    and the oracle maximize the identical integer objective (the optimum
+    VALUE is unique even when multiple optimal assignments exist). Restricted
+    to blocks with <= 12 scored edges so DuckDB can brute-force all
+    2^k edge subsets; the unrestricted operator is pinned by
+    tests/test_operators.py optimality checks."""
     from mapping_analysis_spark.operators.blocking import block_pairs
     from mapping_analysis_spark.operators.matching import hungarian_matches
 
     rows = _blocked_key_rows(spark, sf_dir)
     pairs = block_pairs(rows.select("rid", "source", "bk", "toks"), block_col="bk")
-    scored = pairs.withColumn(
-        "sim", token_set_jaccard(F.col("a_toks"), F.col("b_toks"))
-    ).filter(F.col("sim") >= DEFAULT_THRESHOLD)
-    return hungarian_matches(scored, block_col="a_bk").withColumnRenamed(
-        "a_bk", "block_key"
+    scored = (
+        pairs.withColumn("sim", token_set_jaccard(F.col("a_toks"), F.col("b_toks")))
+        .filter(F.col("sim") >= _HUNGARIAN_THRESHOLD)
+        .select(
+            F.col("a_bk").alias("bk"),
+            "a_rid",
+            "b_rid",
+            sim_e6(F.col("sim")).cast("double").alias("sim"),
+        )
+        .dropDuplicates(["bk", "a_rid", "b_rid"])
     )
+    w = Window.partitionBy("bk")
+    small = scored.withColumn("_n", F.count("*").over(w)).filter(
+        F.col("_n") <= _HUNGARIAN_MAX_EDGES
+    )
+    matched = hungarian_matches(small.select("bk", "a_rid", "b_rid", "sim"), block_col="bk")
+    return matched.groupBy(F.col("bk").alias("block_key")).agg(
+        F.sum(F.col("sim")).cast("long").alias("total_sim_e6")
+    )
+
+
+SQL_CONV_HUNGARIAN = None  # composed below (needs _BLOCKED_PAIRS_SQL)
+
+
+def _sql_conv_hungarian() -> str:
+    return f"""
+WITH {_BLOCKED_PAIRS_SQL},
+scored AS (
+  SELECT DISTINCT k.bk, k.a_rid, k.b_rid, {sqlgen.sim_e6_sql('j.sim')} AS sim_e6
+  FROM jac j JOIN keyed_pairs k ON j.a_rid = k.a_rid AND j.b_rid = k.b_rid
+  WHERE j.sim >= {_HUNGARIAN_THRESHOLD}
+),
+eidx AS (
+  SELECT bk, a_rid, b_rid, sim_e6,
+         row_number() OVER (PARTITION BY bk ORDER BY a_rid, b_rid) - 1 AS idx,
+         count(*) OVER (PARTITION BY bk) AS n_edges
+  FROM scored
+),
+small AS (SELECT * FROM eidx WHERE n_edges <= {_HUNGARIAN_MAX_EDGES}),
+blocks AS (SELECT bk, max(n_edges) AS n FROM small GROUP BY bk),
+masks AS (
+  SELECT bk, unnest(range(0, 1 << n)) AS m FROM blocks
+),
+sel AS (
+  SELECT s.bk, m.m, s.a_rid, s.b_rid, s.sim_e6
+  FROM small s JOIN masks m ON s.bk = m.bk AND ((m.m >> s.idx) & 1) = 1
+),
+valid AS (  -- a subset is a matching iff no endpoint repeats on its side
+  SELECT bk, m, sum(sim_e6) AS total
+  FROM sel GROUP BY bk, m
+  HAVING count(DISTINCT a_rid) = count(*) AND count(DISTINCT b_rid) = count(*)
+)
+SELECT bk AS block_key, CAST(max(total) AS BIGINT) AS total_sim_e6
+FROM valid GROUP BY bk
+"""
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1143,7 +1318,7 @@ def oracle_sql() -> dict[str, str]:
         "conv_pair_trigram": SQL_CONV_PAIR_TRIGRAM,
         "conv_max_both": SQL_CONV_MAX_BOTH,
         "conv_dedup_blocked": SQL_CONV_DEDUP_BLOCKED,
-        # conv_dedup_full: LSH banding not SQL-expressible → rows-only check.
+        "conv_dedup_full": _sql_conv_dedup_full(),
         "conv_representatives": SQL_CONV_REPRESENTATIVES,
         "conv_sessions": SQL_CONV_SESSIONS,
         "conv_role_hourly": SQL_CONV_ROLE_HOURLY,
@@ -1161,8 +1336,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
         "doc_language_id": SQL_DOC_LANGUAGE_ID,
         "conv_idf_blocking": SQL_CONV_IDF_BLOCKING,
-        # conv_greedy_merge / conv_hungarian: iterative tie-broken merging and
-        # optimal assignment are not SQL-expressible → rows-only checks.
+        "conv_greedy_merge": (
+            f"SELECT rid, cluster_rid FROM read_parquet('{_ensure_greedy_expected()}')"
+        ),
+        "conv_hungarian": _sql_conv_hungarian(),
         "embedding_neardup": SQL_EMBEDDING_NEARDUP,
         "events_sliding": SQL_EVENTS_SLIDING,
         "match_quality": SQL_MATCH_QUALITY,

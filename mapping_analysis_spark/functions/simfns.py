@@ -36,22 +36,125 @@ def _padded_trigrams(s: str) -> Counter:
     return Counter(p[i : i + 3] for i in range(len(p) - 2))
 
 
+def _trigram_table(strings: list) -> tuple:
+    """Per-unique-string padded-trigram count table, fully vectorized.
+
+    Returns (indptr, codes, counts, norms): for string i,
+    codes[indptr[i]:indptr[i+1]] are its distinct trigram codes (sorted) and
+    counts[...] the multiset counts; norms[i] = Σ count². Codes are exact
+    24-bit byte triples (c0<<16 | c1<<8 | c2) — for ASCII (all normalized
+    text) byte trigrams ≡ character trigrams, zero collisions. Non-ASCII
+    strings are diverted to the Counter fallback by the caller.
+    """
+    enc = [("##" + s + "##").encode("utf-8") for s in strings]
+    lens = np.fromiter((len(b) for b in enc), dtype=np.int64, count=len(enc))
+    buf = np.frombuffer(b"".join(enc), dtype=np.uint8).astype(np.int64)
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    n_tri = lens - 2  # every padded string has >= 4 bytes → >= 2 trigrams
+    # positions of every trigram start, grouped by string
+    tri_str = np.repeat(np.arange(len(enc), dtype=np.int64), n_tri)
+    tri_pos = np.arange(n_tri.sum(), dtype=np.int64) + np.repeat(
+        starts - np.concatenate(([0], np.cumsum(n_tri)[:-1])), n_tri
+    )
+    code = (buf[tri_pos] << 16) | (buf[tri_pos + 1] << 8) | buf[tri_pos + 2]
+    # multiset counts per (string, code): sort then run-length encode
+    key = (tri_str << 24) | code
+    key.sort()
+    boundary = np.empty(len(key), dtype=bool)
+    boundary[0] = True
+    np.not_equal(key[1:], key[:-1], out=boundary[1:])
+    uniq = key[boundary]
+    counts = np.diff(np.concatenate((np.flatnonzero(boundary), [len(key)])))
+    u_str = uniq >> 24
+    u_code = uniq & 0xFFFFFF
+    indptr = np.concatenate(
+        ([0], np.cumsum(np.bincount(u_str, minlength=len(enc))))
+    )
+    norms = np.zeros(len(enc), dtype=np.int64)
+    np.add.at(norms, u_str, counts * counts)
+    return indptr, u_code, counts, norms
+
+
 @F.pandas_udf(DoubleType())
 def trigram_cosine(a: pd.Series, b: pd.Series) -> pd.Series:
-    out = np.empty(len(a), dtype=np.float64)
-    for i, (x, y) in enumerate(zip(a, b)):
+    """Multiset cosine over padded character 3-grams — vectorized exact path.
+
+    Strategy: factorize each side to unique strings (labels repeat across
+    many pairs), build per-unique trigram count tables with numpy
+    (``_trigram_table``), then compute every pair's dot product in one
+    sorted-key intersection over the whole batch: rows (pair, code, count)
+    for both sides meet via ``np.intersect1d`` on the composite key.
+    Integer counts → float64 dot/norms are exact, so results are
+    bit-identical to the per-pair Counter fallback (used only for rows with
+    non-ASCII text, where byte-trigrams ≠ char-trigrams).
+    """
+    n = len(a)
+    out = np.zeros(n, dtype=np.float64)
+    if n == 0:
+        return pd.Series(out)
+    av = a.to_numpy(dtype=object)
+    bv = b.to_numpy(dtype=object)
+    valid = np.fromiter(
+        (
+            x is not None and y is not None and x.isascii() and y.isascii()
+            for x, y in zip(av, bv)
+        ),
+        dtype=bool,
+        count=n,
+    )
+    # slow-path rows: None → 0.0; non-ASCII → exact Counter math
+    for i in np.flatnonzero(~valid):
+        x, y = av[i], bv[i]
         if x is None or y is None:
-            out[i] = 0.0
             continue
-        ca = _padded_trigrams(x)
-        cb = _padded_trigrams(y)
+        ca, cb = _padded_trigrams(x), _padded_trigrams(y)
         dot = sum(c * cb[t] for t, c in ca.items())
-        if dot == 0:
-            out[i] = 0.0
-            continue
-        na = sum(c * c for c in ca.values())
-        nb = sum(c * c for c in cb.values())
-        out[i] = float(dot) / float(np.sqrt(float(na) * float(nb)))
+        if dot:
+            na = sum(c * c for c in ca.values())
+            nb = sum(c * c for c in cb.values())
+            out[i] = float(dot) / float(np.sqrt(float(na) * float(nb)))
+    idx = np.flatnonzero(valid)
+    if len(idx) == 0:
+        return pd.Series(out)
+    ua, ia = np.unique(av[idx].astype(str), return_inverse=True)
+    ub, ib = np.unique(bv[idx].astype(str), return_inverse=True)
+    pa, ca_codes, ca_counts, na = _trigram_table(list(ua))
+    pb, cb_codes, cb_counts, nb = _trigram_table(list(ub))
+
+    def expand(indptr, codes, counts, inv):
+        """(pair, code, count) rows for every valid pair's side."""
+        seg = indptr[inv + 1] - indptr[inv]  # entries per pair
+        row = np.repeat(np.arange(len(inv), dtype=np.int64), seg)
+        # element positions: for pair j, indptr[inv[j]] .. +seg[j]
+        ofs = np.arange(seg.sum(), dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(seg)[:-1])), seg
+        )
+        pos = np.repeat(indptr[inv], seg) + ofs
+        return (row << 24) | codes[pos], counts[pos]
+
+    ka, wa = expand(pa, ca_codes, ca_counts, ia)
+    kb, wb = expand(pb, cb_codes, cb_counts, ib)
+    # both key arrays are already sorted (codes sorted within each pair, pair
+    # ids ascending) → binary-search intersection, no re-sort
+    dots = np.zeros(len(idx), dtype=np.int64)
+    if len(ka) and len(kb):
+        pos = np.searchsorted(ka, kb)
+        pos[pos == len(ka)] = 0  # out-of-range probes can never match ka[0]
+        hit = ka[pos] == kb
+        # bincount with float weights ≫ unbuffered add.at; products are
+        # integers < 2^53 so the float64 accumulation is exact
+        dots = np.bincount(
+            kb[hit] >> 24,
+            weights=(wa[pos[hit]] * wb[hit]).astype(np.float64),
+            minlength=len(idx),
+        ).astype(np.int64)
+    nz = dots > 0
+    res = np.zeros(len(idx), dtype=np.float64)
+    res[nz] = dots[nz].astype(np.float64) / np.sqrt(
+        na[ia[nz]].astype(np.float64) * nb[ib[nz]].astype(np.float64)
+    )
+    out[idx] = res
     return pd.Series(out)
 
 

@@ -94,21 +94,32 @@ def connected_components(
     out_schema = StructType(
         [StructField("node", dtype, True), StructField("comp", dtype, True)]
     )
+    spark = edges.sparkSession
+    # self-loops dropped up front so the signature matches large-star's
+    # (u != v)-filtered edge set exactly; union-find treats them as no-ops
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
+        F.col("u") != F.col("v")
+    )
+    # One tiny aggregate drives everything: the edge count picks driver vs
+    # distributed, and for distinct inputs the (count, hash-sum) set
+    # signature doubles as large-star's convergence seed — no separate
+    # probe job, no separate init-signature job.
+    n, h = _edge_sig(e)
+    if n > driver_threshold:
+        return large_star_small_star(
+            edges,
+            src,
+            dst,
+            max_iter,
+            input_distinct=input_distinct,
+            init_sig=(n, h) if input_distinct else None,
+        )
     # Arrow both ways: toPandas for the collect, createDataFrame(pdf) for the
     # result (a plain python-list createDataFrame pickles row-by-row —
     # measured as a ~26 s single-core stall at 125k components).
-    pdf = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .limit(driver_threshold + 1)
-        .toPandas()
-    )
-    spark = edges.sparkSession
-    if len(pdf) > driver_threshold:
-        return large_star_small_star(
-            edges, src, dst, max_iter, input_distinct=input_distinct
-        )
+    pdf = e.toPandas()
     uf = UnionFind()
-    for a, b in zip(pdf["a"], pdf["b"]):
+    for a, b in zip(pdf["u"], pdf["v"]):
         uf.union(a, b)
     comp = uf.components()
     if not comp:
@@ -163,12 +174,25 @@ def _label_propagation_cc(
     return labels
 
 
+def _edge_sig(df: DataFrame) -> tuple:
+    """Order-independent multiset signature of an edge frame (u, v):
+    (count, sum of row hashes). For deduplicated frames equal signatures ⟺
+    equal sets up to a 2^-64 hash-sum collision. Decimal accumulator: an
+    int64 sum of 64-bit hashes overflows ANSI."""
+    row = df.agg(
+        F.count("*").alias("n"),
+        F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+    ).collect()[0]
+    return (row["n"], row["h"])
+
+
 def large_star_small_star(
     edges: DataFrame,
     src: str = "a",
     dst: str = "b",
     max_iter: int = 30,
     input_distinct: bool = False,
+    init_sig: tuple | None = None,
 ) -> DataFrame:
     """Kiveris et al. alternating large-star/small-star CC — O(log n) rounds,
     the 100 TB-scale path. Returns (node, component).
@@ -177,25 +201,19 @@ def large_star_small_star(
     small-star: every node connects its smaller-or-equal neighbors to the min.
     Fixpoint → every node points at its component's min id.
     """
-    def _sig(df: DataFrame) -> tuple:
-        """Order-independent set signature: (count, sum of row hashes).
-        After dropDuplicates the edge list is a set, so equal signatures ⟺
-        equal sets up to a 2^-64 hash-sum collision — one cheap aggregate
-        per round instead of two anti-join jobs."""
-        row = df.agg(
-            F.count("*").alias("n"),
-            # decimal accumulator: int64 sum of 64-bit hashes overflows ANSI
-            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
-        ).collect()[0]
-        return (row["n"], row["h"])
-
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
         F.col("u") != F.col("v")
     )
     if not input_distinct:  # callers that pre-deduped skip this shuffle
         e = e.dropDuplicates()
-    e = e.localCheckpoint(eager=False)
-    prev_sig = _sig(e)  # materializes the checkpoint — one job
+        init_sig = None  # dedup changes the set — the seed no longer applies
+    if init_sig is None:
+        e = e.localCheckpoint(eager=False)
+        prev_sig = _edge_sig(e)  # materializes the checkpoint — one job
+    else:
+        # caller already aggregated the signature (connected_components'
+        # size probe) — start iterating with zero extra jobs
+        prev_sig = init_sig
     for _ in range(max_iter):
         # ---- large-star ----
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -226,7 +244,7 @@ def large_star_small_star(
             # action, so each round runs ONE job (eager would run two)
             .localCheckpoint(eager=False)
         )
-        sig = _sig(new_e)
+        sig = _edge_sig(new_e)
         e = new_e
         if sig == prev_sig:
             break

@@ -152,53 +152,79 @@ def conversation_records(transcripts: DataFrame) -> DataFrame:
     ).withColumn("smask", F.expr("shiftleft(1, source)"))
 
 
-def featurize_records(records: DataFrame) -> DataFrame:
-    """Featurized record table (rid, source, early, toks, sg), eagerly
-    materialized — it feeds many consumers (block sizes, self-join, MinHash,
-    payload joins).
+def featurize_records(
+    records: DataFrame,
+    lsh_bands: int = DEFAULT_LSH_BANDS,
+    block_length: int = DEFAULT_BLOCK_LENGTH,
+) -> DataFrame:
+    """Featurized record table (rid, source, bks, toks, minhash), eagerly
+    materialized — it feeds many consumers (block sizes, self-join, LSH
+    banding, payload joins).
 
-    doc is already normalized → tokens = split + drop empties (identical to
-    distinct_tokens(doc) since normalize is idempotent, but ~2x cheaper).
-    Tokens and shingles are hashed to int64 JVM-side: downstream joins then
-    shuffle ~10x fewer bytes and the MinHash kernel skips per-shingle
-    utf8+crc32 — this workload is memory-bandwidth-bound at high core
-    counts, so bytes moved ≈ wall time (collision odds 2^-64 per token
-    pair are irrelevant to set sizes).
+    Bytes are the budget: this checkpoint is re-scanned by every downstream
+    stage and the workload is memory-bandwidth-bound at high core counts, so
+    the stored row keeps only what downstream needs — the MinHash signature
+    (lsh_bands longs) instead of the ~150-element shingle array it derives
+    from, and the 4 final blocking keys instead of the raw early-turn
+    strings. Tokens are hashed to int64 JVM-side (collision odds 2^-64 per
+    token pair are irrelevant to set sizes); tokens = split + drop empties is
+    identical to distinct_tokens(doc) since normalize is idempotent, but ~2x
+    cheaper.
     """
-    rec = records.withColumn("_tk", F.split(F.col("doc"), " "))
-    rec = rec.withColumn(
-        "toks",
-        F.array_distinct(
-            F.transform(
-                F.filter(F.col("_tk"), lambda t: t != F.lit("")), lambda t: F.xxhash64(t)
-            )
+    mh = make_minhash_udf(num_hashes=lsh_bands, shingle_width=1)
+    rec = records.withColumn(
+        "_th",  # ordered token hashes (duplicates kept — shingles need order)
+        F.transform(
+            F.filter(F.split(F.col("doc"), " "), lambda t: t != F.lit("")),
+            lambda t: F.xxhash64(t),
         ),
     )
+    # shingle hash = hash-combine of 3 consecutive TOKEN hashes — numerically,
+    # no shingle strings are ever built (the concat_ws formulation spent ~3
+    # string ops per token in the hottest stage). Same distinctness
+    # semantics as hashing the string shingle; 32-bit range keeps the exact
+    # MinHash modmul in int64 (see functions/simfns._min_perm).
+    rec = rec.withColumn("toks", F.array_distinct(F.col("_th")))
     rec = rec.withColumn(
-        "sg",
+        "_sg",
         F.array_distinct(
             F.transform(
-                doc_shingles(F.col("_tk")),
-                lambda s: F.pmod(F.xxhash64(s), F.lit(4294967296)),
+                F.sequence(
+                    F.lit(1), F.greatest(F.lit(1), F.size(F.col("_th")) - 2)
+                ),
+                lambda i: F.pmod(
+                    F.xxhash64(
+                        F.try_element_at(F.col("_th"), i),
+                        F.try_element_at(F.col("_th"), i + 1),
+                        F.try_element_at(F.col("_th"), i + 2),
+                    ),
+                    F.lit(4294967296),
+                ),
             )
         ),
-    ).drop("_tk")
-    rec = rec.select("rid", "source", "early", "toks", "sg")
+    ).drop("_th")
+    rec = rec.select(
+        "rid",
+        "source",
+        block_keys_array(block_length).alias("bks"),
+        "toks",
+        mh(F.col("_sg")).alias("minhash"),
+    )
     return rec.localCheckpoint(eager=True)
 
 
 def pruned_block_rows(
     rec: DataFrame,
-    block_length: int = DEFAULT_BLOCK_LENGTH,
     max_block_size: int = DEFAULT_MAX_BLOCK_SIZE,
     payload: list[str] | None = None,
 ) -> DataFrame:
     """(bk, rid, source[, payload...]) rows with stop-blocks pruned, eagerly
     materialized — the block self-join consumes it on BOTH sides, and
     without the checkpoint Catalyst re-executes the explode+groupBy+semi-join
-    subtree twice (measured 2x the stage time at sf0.5)."""
+    subtree twice (measured 2x the stage time at sf0.5). ``rec`` must carry
+    the precomputed ``bks`` key array (see ``featurize_records``)."""
     cols = ["rid", "source"] + (payload or [])
-    blk = rec.select(*cols, F.explode(block_keys_array(block_length)).alias("bk"))
+    blk = rec.select(*cols, F.explode(F.col("bks")).alias("bk"))
     sizes = blk.groupBy("bk").agg(F.count("*").alias("_bn"))
     ok_blocks = sizes.filter(F.col("_bn") <= max_block_size).select("bk")
     slim = blk.join(F.broadcast(ok_blocks), "bk", "left_semi")
@@ -231,16 +257,15 @@ def candidate_pairs(
     (BlockSplit semantics) remains for deployments that must keep oversized
     blocks instead of pruning them.
     """
-    rec = featurize_records(records)
-    slim = pruned_block_rows(rec, block_length, max_block_size)
+    rec = featurize_records(records, lsh_bands=max(lsh_bands, 1), block_length=block_length)
+    slim = pruned_block_rows(rec, max_block_size)
     if salted:
         bp = salted_block_pairs(slim, block_col="bk", cap=cap).select("a_rid", "b_rid")
     else:
         bp = block_pairs(slim, block_col="bk").select("a_rid", "b_rid")
     id_pairs = bp
     if lsh_bands:
-        mh = make_minhash_udf(num_hashes=lsh_bands, shingle_width=1)
-        sig = rec.select("rid", mh(F.col("sg")).alias("minhash"))
+        sig = rec.select("rid", "minhash")
         lp = lsh_band_pairs(sig, bands=lsh_bands, rows_per_band=1)
         id_pairs = id_pairs.union(lp.select("a_rid", "b_rid"))
     id_pairs = id_pairs.dropDuplicates(["a_rid", "b_rid"])
@@ -318,7 +343,7 @@ def match_edges(
     sf0.5 to keep 138k edges). LSH-band candidates (id-only) are anti-joined
     against nothing — they are few; their payload join is cheap.
     """
-    slim = pruned_block_rows(rec, block_length, max_block_size, payload=["toks"])
+    slim = pruned_block_rows(rec, max_block_size, payload=["toks"])
     a = slim.select(
         F.col("bk"), F.col("rid").alias("a_rid"), F.col("source").alias("a_source"),
         F.col("toks").alias("a_toks"),
@@ -327,19 +352,24 @@ def match_edges(
         F.col("bk"), F.col("rid").alias("b_rid"), F.col("source").alias("b_source"),
         F.col("toks").alias("b_toks"),
     )
+    # The jaccard predicate lives INSIDE the join condition, after the cheap
+    # conjuncts: a separate .filter() gets ANDed in FRONT of the residual
+    # during pushdown and Spark then evaluates array_intersect for every
+    # same-block row pair including a>=b and same-source ones (~4x the
+    # evaluations — observed in the event log as 224 core-s for this stage).
     e_prefix = (
         a.join(
             b.hint("shuffle_hash"),
-            (a.bk == b.bk) & (F.col("a_rid") < F.col("b_rid"))
-            & (F.col("a_source") != F.col("b_source")),
+            (a.bk == b.bk)
+            & (F.col("a_rid") < F.col("b_rid"))
+            & (F.col("a_source") != F.col("b_source"))
+            & jaccard_ge(F.col("a_toks"), F.col("b_toks"), threshold),
         )
-        .filter(jaccard_ge(F.col("a_toks"), F.col("b_toks"), threshold))
         .select("a_rid", "b_rid")
     )
     edges = e_prefix
     if lsh_bands:
-        mh = make_minhash_udf(num_hashes=lsh_bands, shingle_width=1)
-        sig = rec.select("rid", mh(F.col("sg")).alias("minhash"))
+        sig = rec.select("rid", "minhash")
         lp = lsh_band_pairs(sig, bands=lsh_bands, rows_per_band=1)
         ra = rec.select(
             F.col("rid").alias("a_rid"), F.col("source").alias("a_source"),

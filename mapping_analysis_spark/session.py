@@ -18,14 +18,22 @@ def get_spark(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    aqe: bool = False,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession tuned for this engine.
 
     Notes on the flags:
 
-    * AQE + skew-join: runtime re-planning; the explicit hot-block salting in
-      ``operators/blocking.py`` handles skew *inside* self-join pair
-      generation, which AQE alone cannot see.
+    * AQE **off by default**: this engine pins its physical plan explicitly
+      (user repartitions, triangle salting, stop-block pruning, explicit
+      ``F.broadcast`` hints), so AQE's per-shuffle stage-materialization
+      barriers only serialize the DAG — measured 54s → 30s on the fused
+      flagship edge job at sf1.0. Pass ``aqe=True`` for ad-hoc workloads
+      whose skew/sizes the engine has not planned for.
+    * Auto-broadcast off (``-1``): size estimates through localCheckpoint +
+      explode are wildly wrong (a 6M-row exploded band table was estimated
+      broadcastable); every join that *should* broadcast carries an explicit
+      ``F.broadcast`` hint, which still works with the auto threshold off.
     * ``spark.sql.session.timeZone=UTC``: required so timestamp semantics
       match the DuckDB correctness oracle (duckdb timestamps are UTC-naive).
     * Arrow enabled: all pandas UDFs ride the Arrow batch path (the engine
@@ -42,16 +50,16 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(cores))
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.enabled", str(aqe).lower())
+        .config("spark.sql.adaptive.skewJoin.enabled", str(aqe).lower())
+        .config("spark.sql.adaptive.coalescePartitions.enabled", str(aqe).lower())
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -66,7 +66,6 @@ from mapping_analysis_spark.pipeline import (
     DEFAULT_THRESHOLD,
     block_keys_array,
     conversation_records,
-    doc_shingles,
 )
 from mapping_analysis_spark.streaming.sinks import SnapshotStateTable
 
@@ -145,27 +144,39 @@ class IncrementalClusteringJob:
         recs_full = conversation_records(
             turns.join(F.broadcast(affected), "conv_id", "left_semi")
         )
-        # identical featurization to pipeline.candidate_pairs (hashed int64
-        # tokens/shingles — see the bandwidth note there)
+        # identical featurization to pipeline.featurize_records (hashed int64
+        # tokens; shingle hash = hash-combine of 3 consecutive token hashes —
+        # MUST stay in lockstep with the batch path for streaming==batch
+        # parity)
         recs_full = recs_full.withColumn("bks", block_keys_array(self.block_length))
-        recs_full = recs_full.withColumn("_tk", F.split(F.col("doc"), " "))
         recs_full = recs_full.withColumn(
-            "toks",
-            F.array_distinct(
-                F.transform(F.filter(F.col("_tk"), lambda t: t != F.lit("")), lambda t: F.xxhash64(t))
+            "_th",
+            F.transform(
+                F.filter(F.split(F.col("doc"), " "), lambda t: t != F.lit("")),
+                lambda t: F.xxhash64(t),
             ),
         )
+        recs_full = recs_full.withColumn("toks", F.array_distinct(F.col("_th")))
         recs_full = (
             recs_full.withColumn(
                 "sg",
                 F.array_distinct(
                     F.transform(
-                        doc_shingles(F.col("_tk")),
-                        lambda s: F.pmod(F.xxhash64(s), F.lit(4294967296)),
+                        F.sequence(
+                            F.lit(1), F.greatest(F.lit(1), F.size(F.col("_th")) - 2)
+                        ),
+                        lambda i: F.pmod(
+                            F.xxhash64(
+                                F.try_element_at(F.col("_th"), i),
+                                F.try_element_at(F.col("_th"), i + 1),
+                                F.try_element_at(F.col("_th"), i + 2),
+                            ),
+                            F.lit(4294967296),
+                        ),
                     )
                 ),
             )
-            .drop("_tk")
+            .drop("_th")
             .select("rid", "source", "bks", "toks", "sg")
             .localCheckpoint(eager=True)
         )

@@ -211,3 +211,55 @@ def test_token_jaccard_values(spark):
     )
     got = [r[0] for r in df.select(token_set_jaccard(F.col("x"), F.col("y"))).collect()]
     assert got == [pytest.approx(1 / 3), 1.0, 0.0]
+
+
+def test_xxhash64_replica(spark):
+    """The pure-Python oracle-side xxhash64 must be bit-exact with Spark's
+    (strings, chained longs, null-skip)."""
+    from pyspark.sql import functions as F
+
+    from mapping_analysis_spark.data.oracle_features import (
+        xxhash64_longs,
+        xxhash64_str,
+    )
+
+    samples = ["", "a", "hello world", "x" * 7, "y" * 8, "z" * 31, "w" * 32,
+               "v" * 100, "ümlaut", "##aa##"]
+    df = spark.createDataFrame([(s,) for s in samples], ["s"])
+    got = [r[0] for r in df.select(F.xxhash64("s")).collect()]
+    assert got == [xxhash64_str(s) for s in samples]
+    longs = [(1, 2, 3), (0, 0, 0), (-1, -2, -3), (2**62, -(2**62), 7)]
+    df2 = spark.createDataFrame(longs, ["a", "b", "c"])
+    got2 = [r[0] for r in df2.select(F.xxhash64("a", "b", "c")).collect()]
+    assert got2 == [xxhash64_longs(list(t)) for t in longs]
+    df3 = spark.createDataFrame([(1, None)], "a long, b long")
+    assert df3.select(F.xxhash64("a", "b")).collect()[0][0] == xxhash64_longs([1])
+
+
+def test_band_table_matches_spark(spark):
+    """The oracle-side LSH band table must equal the engine's banding
+    row-for-row (this pins the conv_dedup_full oracle's shared parquet)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from mapping_analysis_spark.data.oracle_features import band_table
+    from mapping_analysis_spark.data.transcripts import ensure_transcripts
+    from mapping_analysis_spark.pipeline import conversation_records, featurize_records
+
+    p = ensure_transcripts("/root/testdata/sf0.001")
+    rec = featurize_records(conversation_records(spark.read.parquet(p)))
+    got = (
+        rec.select(
+            "rid",
+            F.posexplode(
+                F.transform(F.col("minhash"), lambda h: F.xxhash64(F.array(h).cast("string")))
+            ).alias("band_idx", "band_hash"),
+        )
+        .toPandas()
+        .sort_values(["rid", "band_idx"])
+        .reset_index(drop=True)
+    )
+    want = band_table(pd.read_parquet(p)).sort_values(["rid", "band_idx"]).reset_index(drop=True)
+    assert len(got) == len(want) > 0
+    assert (got["rid"].to_numpy() == want["rid"].to_numpy()).all()
+    assert (got["band_hash"].to_numpy().astype("int64") == want["band_hash"].to_numpy().astype("int64")).all()
