@@ -1266,6 +1266,272 @@ FROM counts
 
 
 # ---------------------------------------------------------------------------
+# Attribute similarities (geo / year / length / number / type / Jaro-Winkler)
+# ---------------------------------------------------------------------------
+# The transcripts table carries no geo/year/type attributes, so the queries
+# derive them DETERMINISTICALLY from existing columns with pure integer
+# arithmetic — bit-identical in both engines — including invalid/missing
+# values to exercise each metric's null path (reference semantics: invalid
+# coordinates, EMPTY_INT years, non-sane number strings).
+
+_TYPE_NAMES = [
+    "Settlement", "Country", "Mountain", "Island", "School",
+    "ArchitecturalStructure", "AdministrativeRegion",
+]
+
+
+def _attr_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rec = conversation_records(_t(spark, sf_dir))
+    dl = F.length("doc")
+    ll = F.length("label")
+    nt = F.col("n_turns")
+    t_arr = F.array(*[F.lit(x) for x in _TYPE_NAMES])
+    t1 = F.element_at(t_arr, (ll % 7 + 1).cast("int"))
+    t2 = F.element_at(t_arr, (nt % 7 + 1).cast("int"))
+    return rec.select(
+        "rid",
+        F.when(nt % 17 == 0, F.lit(95.0))
+        .otherwise((dl * 7919 % 18000) / F.lit(100.0) - 90.0)
+        .alias("lat"),
+        ((dl * 104729 % 36000) / F.lit(100.0) - 180.0).alias("lon"),
+        F.when(nt % 13 == 0, F.lit(None)).otherwise(1950 + dl % 70).alias("year"),
+        F.when(nt % 11 == 0, F.lit(None)).otherwise(ll % 30).alias("len_attr"),
+        F.when(nt % 7 == 0, F.lit("")).otherwise((nt % 8).cast("string")).alias("number"),
+        F.when(nt % 3 == 0, F.array_distinct(F.array(t1, t2)))
+        .otherwise(F.array(t1))
+        .alias("types"),
+        "label",
+    )
+
+
+_TYPES_SQL_LIST = "['" + "','".join(_TYPE_NAMES) + "']"
+_ATTRS_SQL = f"""
+attrs AS MATERIALIZED (
+  SELECT rid,
+    CASE WHEN n_turns % 17 = 0 THEN 95.0
+         ELSE (len(doc) * 7919 % 18000) / 100.0 - 90.0 END AS lat,
+    (len(doc) * 104729 % 36000) / 100.0 - 180.0 AS lon,
+    CASE WHEN n_turns % 13 = 0 THEN NULL ELSE 1950 + len(doc) % 70 END AS year,
+    CASE WHEN n_turns % 11 = 0 THEN NULL ELSE len(label) % 30 END AS len_attr,
+    CASE WHEN n_turns % 7 = 0 THEN '' ELSE CAST(n_turns % 8 AS VARCHAR) END AS number,
+    CASE WHEN n_turns % 3 = 0
+         THEN list_distinct([{_TYPES_SQL_LIST}[CAST(len(label) % 7 + 1 AS INT)],
+                             {_TYPES_SQL_LIST}[CAST(n_turns % 7 + 1 AS INT)]])
+         ELSE [{_TYPES_SQL_LIST}[CAST(len(label) % 7 + 1 AS INT)]] END AS types,
+    label
+  FROM rec
+)
+"""
+
+
+def _attr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked candidate id-pairs joined with both sides' derived attrs."""
+    pairs = _blocked_pairs(spark, sf_dir, []).select("a_rid", "b_rid")
+    at = _attr_records(spark, sf_dir)
+    a = at.select([F.col(c).alias(f"a_{c}") for c in at.columns])
+    b = at.select([F.col(c).alias(f"b_{c}") for c in at.columns])
+    return pairs.join(a, "a_rid").join(b, "b_rid")
+
+
+_ATTR_PAIRS_SQL = f"""
+{_BLOCKED_PAIRS_SQL},
+{_ATTRS_SQL},
+apairs AS (
+  SELECT p.a_rid, p.b_rid,
+         a.lat AS a_lat, a.lon AS a_lon, b.lat AS b_lat, b.lon AS b_lon,
+         a.year AS a_year, b.year AS b_year,
+         a.len_attr AS a_len, b.len_attr AS b_len,
+         a.number AS a_number, b.number AS b_number,
+         a.types AS a_types, b.types AS b_types,
+         a.label AS a_label, b.label AS b_label
+  FROM pair_ids p JOIN attrs a ON a.rid = p.a_rid JOIN attrs b ON b.rid = p.b_rid
+)
+"""
+
+
+def q_conv_pair_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haversine geo similarity (GeoDistance.java:20-46, Utils.java:443-459):
+    1 − d/150km, 0 beyond, null for invalid coordinates (sentinel −1).
+    Quantized to 1e-4 — the trig chain differs in the last ulp between
+    engines (see functions/attr_sims.sim_e4)."""
+    from mapping_analysis_spark.functions.attr_sims import geo_similarity, sim_e4
+
+    p = _attr_pairs(spark, sf_dir)
+    g = geo_similarity(F.col("a_lat"), F.col("a_lon"), F.col("b_lat"), F.col("b_lon"))
+    return p.select(
+        "a_rid", "b_rid", F.coalesce(sim_e4(g), F.lit(-1)).alias("geo_sim_e4")
+    )
+
+
+SQL_CONV_PAIR_GEO = f"""
+WITH {_ATTR_PAIRS_SQL},
+g AS (
+  SELECT a_rid, b_rid,
+    CASE WHEN abs(a_lat) <= 90 AND abs(a_lon) <= 180
+          AND abs(b_lat) <= 90 AND abs(b_lon) <= 180
+    THEN (
+      CASE WHEN d >= 150000.0 THEN 0.0 ELSE 1.0 - d / 150000.0 END
+    ) END AS sim
+  FROM (
+    SELECT *,
+      6371.0 * (2 * atan2(
+        sqrt(pow(sin(radians(b_lat - a_lat) / 2), 2)
+             + cos(radians(a_lat)) * cos(radians(b_lat))
+             * pow(sin(radians(b_lon - a_lon) / 2), 2)),
+        sqrt(1 - (pow(sin(radians(b_lat - a_lat) / 2), 2)
+             + cos(radians(a_lat)) * cos(radians(b_lat))
+             * pow(sin(radians(b_lon - a_lon) / 2), 2))))) * 1000.0 AS d
+    FROM apairs
+  )
+)
+SELECT a_rid, b_rid,
+  coalesce(CAST(floor(sim * 10000.0 + 0.5) AS BIGINT), -1) AS geo_sim_e4
+FROM g
+"""
+
+
+def q_conv_pair_attr_sims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year/length/number attribute sims (SimCompUtils.java:12-64): equal →
+    1, ±1 → 0.5 (year/length), else 0; null (sentinel −1) when a side is
+    missing/not sane."""
+    from mapping_analysis_spark.functions.attr_sims import (
+        length_sim,
+        number_sim,
+        year_sim,
+    )
+
+    p = _attr_pairs(spark, sf_dir)
+    return p.select(
+        "a_rid",
+        "b_rid",
+        F.coalesce(sim_e6(year_sim(F.col("a_year"), F.col("b_year"))), F.lit(-1)).alias("year_sim_e6"),
+        F.coalesce(sim_e6(length_sim(F.col("a_len_attr"), F.col("b_len_attr"))), F.lit(-1)).alias("length_sim_e6"),
+        F.coalesce(sim_e6(number_sim(F.col("a_number"), F.col("b_number"))), F.lit(-1)).alias("number_sim_e6"),
+    )
+
+
+SQL_CONV_PAIR_ATTR_SIMS = f"""
+WITH {_ATTR_PAIRS_SQL}
+SELECT a_rid, b_rid,
+  coalesce(CASE WHEN a_year IS NULL OR b_year IS NULL THEN NULL
+    WHEN a_year = b_year THEN 1000000
+    WHEN abs(a_year - b_year) = 1 THEN 500000 ELSE 0 END, -1) AS year_sim_e6,
+  coalesce(CASE WHEN a_len IS NULL OR b_len IS NULL THEN NULL
+    WHEN a_len = b_len THEN 1000000
+    WHEN abs(a_len - b_len) = 1 THEN 500000 ELSE 0 END, -1) AS length_sim_e6,
+  coalesce(CASE WHEN a_number <> '' AND b_number <> '' AND a_number = b_number
+    THEN 1000000 END, -1) AS number_sim_e6
+FROM apairs
+"""
+
+
+def q_conv_pair_type_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type similarity with TYPE_SHADINGS (Utils.java:636-667,
+    TypeDictionary.java): shared type or shading pair → 1, else 0."""
+    from mapping_analysis_spark.functions.attr_sims import type_sim
+
+    p = _attr_pairs(spark, sf_dir)
+    return p.select(
+        "a_rid", "b_rid",
+        sim_e6(type_sim(F.col("a_types"), F.col("b_types"))).alias("type_sim_e6"),
+    )
+
+
+_SHADING_SQL = " OR ".join(
+    f"(list_contains(a_types, '{x}') AND list_contains(b_types, '{y}'))"
+    f" OR (list_contains(a_types, '{y}') AND list_contains(b_types, '{x}'))"
+    for x, y in [
+        ("ArchitecturalStructure", "School"),
+        ("Mountain", "Island"),
+        ("Country", "Settlement"),
+        ("Settlement", "AdministrativeRegion"),
+        ("AdministrativeRegion", "Country"),
+    ]
+)
+SQL_CONV_PAIR_TYPE_SIM = f"""
+WITH {_ATTR_PAIRS_SQL}
+SELECT a_rid, b_rid,
+  CASE WHEN len(list_intersect(a_types, b_types)) > 0 OR {_SHADING_SQL}
+       THEN 1000000 ELSE 0 END AS type_sim_e6
+FROM apairs
+"""
+
+
+def q_conv_pair_jarowinkler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaro-Winkler on labels (the reference's second core string metric,
+    Utils.java:864-867, simmetrics defaults)."""
+    from mapping_analysis_spark.functions.simfns import jaro_winkler
+
+    pairs = _blocked_pairs(spark, sf_dir, ["label"])
+    return pairs.select(
+        "a_rid", "b_rid",
+        sim_e6(jaro_winkler(F.col("a_label"), F.col("b_label"))).alias("jw_e6"),
+    )
+
+
+SQL_CONV_PAIR_JAROWINKLER = f"""
+WITH {_BLOCKED_PAIRS_SQL}
+SELECT a_rid, b_rid,
+  {sqlgen.sim_e6_sql('jaro_winkler_similarity(a_label, b_label)')} AS jw_e6
+FROM pairs
+"""
+
+
+def q_conv_type_overlap_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TypeOverlapCcCreator (TypeOverlapCcCreator.java:39-48 +
+    HashCcIdOverlappingFunction.java:33-61): within each blocked-dedup
+    component, vertices whose type sets overlap collapse into one refined
+    component; label = min member id (deterministic stand-in for the
+    reference's run-varying hash)."""
+    from mapping_analysis_spark.operators.decomposition import type_overlap_cc
+
+    assign = q_conv_dedup_blocked(spark, sf_dir).select(
+        F.col("conv_id").alias("rid"), F.col("cluster_id").alias("comp")
+    )
+    attrs = _attr_records(spark, sf_dir).select("rid", "types")
+    vertices = assign.join(attrs, "rid")
+    return type_overlap_cc(vertices)
+
+
+SQL_CONV_TYPE_OVERLAP_CC = f"""
+WITH RECURSIVE {_BLOCKED_PAIRS_SQL},
+{_ATTRS_SQL},
+edges0 AS MATERIALIZED (
+  SELECT a_rid AS a, b_rid AS b FROM jac WHERE sim >= {DEFAULT_THRESHOLD}
+),
+sym0 AS MATERIALIZED (SELECT a AS u, b AS v FROM edges0 UNION SELECT b, a FROM edges0),
+reach0 AS (
+  SELECT u, v FROM sym0
+  UNION
+  SELECT r.u, s.v FROM reach0 r JOIN sym0 s ON r.v = s.u
+),
+comp0 AS (SELECT u AS node, least(min(v), u) AS cluster_id FROM reach0 GROUP BY u),
+assign AS (
+  SELECT rid, coalesce(comp0.cluster_id, rid) AS comp
+  FROM rec LEFT JOIN comp0 ON rec.rid = comp0.node
+),
+keyed AS MATERIALIZED (
+  SELECT a.rid, a.comp || '|' || t.t AS tk
+  FROM assign a JOIN attrs at ON at.rid = a.rid, unnest(at.types) AS t(t)
+),
+hub AS (SELECT tk, min(rid) AS hub FROM keyed GROUP BY tk),
+tedges AS MATERIALIZED (
+  SELECT DISTINCT k.rid AS a, h.hub AS b FROM keyed k JOIN hub h USING (tk)
+  WHERE k.rid <> h.hub
+),
+tsym AS MATERIALIZED (SELECT a AS u, b AS v FROM tedges UNION SELECT b, a FROM tedges),
+treach AS (
+  SELECT u, v FROM tsym
+  UNION
+  SELECT r.u, s.v FROM treach r JOIN tsym s ON r.v = s.u
+),
+tcomp AS (SELECT u AS node, least(min(v), u) AS tc FROM treach GROUP BY u)
+SELECT a.rid, coalesce(tcomp.tc, a.rid) AS type_cc
+FROM assign a LEFT JOIN tcomp ON a.rid = tcomp.node
+"""
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -1306,6 +1572,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "events_sliding": q_events_sliding,
         "match_quality": q_match_quality,
+        "conv_pair_geo": q_conv_pair_geo,
+        "conv_pair_attr_sims": q_conv_pair_attr_sims,
+        "conv_pair_type_sim": q_conv_pair_type_sim,
+        "conv_pair_jarowinkler": q_conv_pair_jarowinkler,
+        "conv_type_overlap_cc": q_conv_type_overlap_cc,
     }
 
 
@@ -1343,4 +1614,9 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": SQL_EMBEDDING_NEARDUP,
         "events_sliding": SQL_EVENTS_SLIDING,
         "match_quality": SQL_MATCH_QUALITY,
+        "conv_pair_geo": SQL_CONV_PAIR_GEO,
+        "conv_pair_attr_sims": SQL_CONV_PAIR_ATTR_SIMS,
+        "conv_pair_type_sim": SQL_CONV_PAIR_TYPE_SIM,
+        "conv_pair_jarowinkler": SQL_CONV_PAIR_JAROWINKLER,
+        "conv_type_overlap_cc": SQL_CONV_TYPE_OVERLAP_CC,
     }

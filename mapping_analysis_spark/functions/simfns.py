@@ -158,6 +158,66 @@ def trigram_cosine(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def _jaro(s1: str, s2: str) -> float:
+    l1, l2 = len(s1), len(s2)
+    if l1 == 0 or l2 == 0:
+        return 0.0
+    if s1 == s2:
+        return 1.0
+    win = max(max(l1, l2) // 2 - 1, 0)
+    m1 = [False] * l1
+    m2 = [False] * l2
+    m = 0
+    for i in range(l1):
+        lo, hi = max(0, i - win), min(l2, i + win + 1)
+        for j in range(lo, hi):
+            if not m2[j] and s1[i] == s2[j]:
+                m1[i] = m2[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(l1):
+        if m1[i]:
+            while not m2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    return (m / l1 + m / l2 + (m - t) / m) / 3.0
+
+
+@F.pandas_udf(DoubleType())
+def jaro_winkler(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Jaro-Winkler similarity — the reference's second core string metric
+    (simmetrics ``JaroWinkler()`` defaults: boost threshold 0.7, prefix
+    scale 0.1, max common prefix 4; ``util/Utils.java:864-867``).
+
+    Matches DuckDB's ``jaro_winkler_similarity`` bit-for-bit (the oracle;
+    verified on 20k random pairs + the corpus label pairs), including its
+    empty-vs-empty = 0.0 convention (simmetrics returns 1.0 there — labels
+    are never empty after normalization, so the divergence is unreachable
+    in the pipelines)."""
+    out = np.zeros(len(a), dtype=np.float64)
+    for i, (x, y) in enumerate(zip(a, b)):
+        if x is None or y is None:
+            continue
+        j = _jaro(x, y)
+        if j > 0.7:
+            l = 0
+            for cx, cy in zip(x[:4], y[:4]):
+                if cx == cy:
+                    l += 1
+                else:
+                    break
+            j = j + l * 0.1 * (1 - j)
+        out[i] = j
+    return pd.Series(out)
+
+
 def _shingle_hashes(tokens, width: int) -> np.ndarray:
     """Stable 32-bit hashes of word w-shingles.
 

@@ -64,6 +64,43 @@ def idf_blocking(
     return comp.select(F.col("node").alias(id_col), F.col("comp").alias("idf_block"))
 
 
+def type_overlap_cc(
+    vertices: DataFrame,
+    id_col: str = "rid",
+    comp_col: str = "comp",
+    types_col: str = "types",
+) -> DataFrame:
+    """TypeOverlapCcCreator (``preprocessing/TypeOverlapCcCreator.java:39-48``
+    + ``typegroupby/HashCcIdOverlappingFunction.java:33-61``): within each
+    existing component, vertices whose type sets overlap land in one refined
+    component ("Mountain -- Mountain, Island -- Island" chains collapse).
+
+    The reference labels refined groups with a hash that varies run-to-run
+    (its own NOTE admits it); here the label is the deterministic min vertex
+    id — same partition of the vertex set, stable output. Implementation:
+    connected components over the vertex↔(comp, type) bipartite share graph,
+    expressed as vertex-vertex edges through a min-vertex-per-type-key hub
+    (linear in Σ|types|, no quadratic within-type pair blowup).
+    """
+    keyed = vertices.select(
+        F.col(id_col), F.col(comp_col).cast("string").alias("_c"), F.explode(types_col).alias("_t")
+    ).select(F.col(id_col), F.concat_ws("|", F.col("_c"), F.col("_t")).alias("_tk"))
+    hub = keyed.groupBy("_tk").agg(F.min(id_col).alias("_hub"))
+    edges = (
+        keyed.join(hub, "_tk")
+        .filter(F.col(id_col) != F.col("_hub"))
+        .select(F.col(id_col).alias("a"), F.col("_hub").alias("b"))
+        .dropDuplicates()
+    )
+    comp = connected_components(edges)
+    return (
+        vertices.select(id_col)
+        .join(comp.withColumnRenamed("node", id_col), id_col, "left")
+        .withColumn("type_cc", F.coalesce(F.col("comp"), F.col(id_col)))
+        .drop("comp")
+    )
+
+
 def type_group_by(
     vertices: DataFrame,
     scored_edges: DataFrame,

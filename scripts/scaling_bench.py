@@ -102,22 +102,23 @@ def worker(cores: int) -> None:
     spark.stop()
 
 
+def _stream_probe(_):
+    import numpy as np
+
+    a = np.random.rand(20_000_000)
+    b = np.random.rand(20_000_000)
+    t0 = time.time()
+    for _ in range(10):
+        _ = a + b
+    return 10 * 3 * 160 / (time.time() - t0)
+
+
 def host_probe(procs: int) -> float:
     """JVM-free STREAM-like bandwidth per process (MB/s) at ``procs``."""
     import multiprocessing as mp
 
-    import numpy as np
-
-    def stream(_):
-        a = np.random.rand(20_000_000)
-        b = np.random.rand(20_000_000)
-        t0 = time.time()
-        for _ in range(10):
-            _ = a + b
-        return 10 * 3 * 160 / (time.time() - t0)
-
     with mp.Pool(procs) as p:
-        r = p.map(stream, range(procs))
+        r = p.map(_stream_probe, range(procs))
     return round(sum(r) / len(r), 1)
 
 
