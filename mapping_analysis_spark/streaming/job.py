@@ -105,6 +105,7 @@ class IncrementalClusteringJob:
         self.comps = SnapshotStateTable(spark, state_dir, "comps")
         self.assignments = SnapshotStateTable(spark, state_dir, "assignments")
         self.metrics_path = os.path.join(state_dir, "metrics.jsonl")
+        self.state_metrics_every = 5
         self._minhash = make_minhash_udf(num_hashes=lsh_bands, shingle_width=1)
 
     # -- per-batch kernel ---------------------------------------------------
@@ -126,12 +127,10 @@ class IncrementalClusteringJob:
         )
         n_rows = batch_df.count()
         if n_rows == 0:
-            # still commit empty versions so replay detection stays monotonic
+            # empty deltas keep replay detection monotonic at zero data cost
             for st in (self.turns, self.records, self.bands, self.edges, self.comps,
                        self.assignments):
-                cur = st.read()
-                if cur is not None:
-                    st.commit(cur, batch_id)
+                st.commit_unchanged(batch_id)
             self._log(batch_id, 0, t0)
             return
 
@@ -307,16 +306,28 @@ class IncrementalClusteringJob:
             .filter(F.col("sim") >= F.lit(self.threshold))
             .select(F.col("a_rid").alias("a"), F.col("b_rid").alias("b"))
         )
+        # delta commit: upsert this batch's edges, tombstone previously-stored
+        # edges incident to the re-derive set that no longer verify —
+        # O(batch-incident edges) written, not O(total edge state)
+        e_new = e_new.dropDuplicates(["a", "b"]).localCheckpoint(eager=True)
         old_edges = self.edges.read()
+        removed = None
         if old_edges is not None:
-            e_keep = old_edges.join(
-                F.broadcast(a_ids), (old_edges.a == F.col("x")) | (old_edges.b == F.col("x")), "left_anti"
+            # two hash semi-joins (one per endpoint) — an OR-condition semi
+            # join would plan as a nested loop, O(E·|A|) per batch
+            ax = a_ids.withColumnRenamed("x", "a")
+            bx = a_ids.withColumnRenamed("x", "b")
+            old_inc = (
+                old_edges.select("a", "b").join(F.broadcast(ax), "a", "left_semi")
+                .unionByName(
+                    old_edges.select("a", "b").join(F.broadcast(bx), "b", "left_semi")
+                )
+                .dropDuplicates(["a", "b"])
             )
-            edges_all = e_keep.union(e_new).dropDuplicates(["a", "b"])
-        else:
-            edges_all = e_new.dropDuplicates(["a", "b"])
-        edges_all = edges_all.localCheckpoint(eager=True)
-        self.edges.commit(edges_all, batch_id)
+            removed = old_inc.join(e_new, ["a", "b"], "left_anti")
+        edges_all = self.edges.apply_delta(
+            e_new, removed, ["a", "b"], batch_id
+        ).localCheckpoint(eager=True)
 
         # 6. dirty-component recompute (scope: full re-derive set + new-edge
         # endpoints — includes cap-crossing block members)
@@ -333,12 +344,10 @@ class IncrementalClusteringJob:
                 .select("comp")
                 .distinct()
             )
-            clean = old_comps.join(dirty_comp_ids, "comp", "left_anti")
             dirty_members = old_comps.join(dirty_comp_ids, "comp", "left_semi").select(
                 "node"
             )
         else:
-            clean = None
             dirty_members = self.spark.createDataFrame([], "node string")
         scope = dirty_members.union(dirty_nodes.select("node")).distinct()
         sub_edges = (
@@ -351,10 +360,10 @@ class IncrementalClusteringJob:
         singles = scope.join(
             recomputed.select("node"), "node", "left_anti"
         ).withColumn("comp", F.col("node"))
-        new_part = recomputed.union(singles)
-        comps_all = new_part if clean is None else clean.unionByName(new_part)
-        comps_all = comps_all.localCheckpoint(eager=True)
-        self.comps.commit(comps_all, batch_id)
+        new_part = recomputed.union(singles).localCheckpoint(eager=True)
+        # delta commit: only the recomputed (dirty) partition is written —
+        # clean components carry over untouched in the state table
+        self.comps.apply_delta(new_part, None, ["node"], batch_id)
 
         # 7. exactly-once assignment upsert for the recomputed scope
         updates = new_part.select(
@@ -377,12 +386,15 @@ class IncrementalClusteringJob:
             "seconds": round(dur, 3),
             "rows_per_sec": round(n_rows / dur, 1) if dur > 0 else None,
             "replayed": replayed,
-            "state_rows": {
-                name: (st.read().count() if st.read() is not None else 0)
-                for name, st in [("edges", self.edges), ("comps", self.comps)]
-            },
             "lineage_files": (input_files or [])[:20],
         }
+        # state-size metrics are full-table counts — sample them instead of
+        # paying two extra jobs on EVERY micro-batch (scale: 10^12 turns)
+        if batch_id % self.state_metrics_every == 0 and not replayed:
+            rec["state_rows"] = {
+                name: (st.read().count() if st.read() is not None else 0)
+                for name, st in [("edges", self.edges), ("comps", self.comps)]
+            }
         with open(self.metrics_path, "a") as f:
             f.write(json.dumps(rec) + "\n")
 

@@ -54,14 +54,32 @@ def _jaccard(a: frozenset, b: frozenset) -> float:
     return inter / (len(a) + len(b) - inter)
 
 
-def make_block_clusterer(threshold: float = 0.35):
+def make_block_clusterer(
+    threshold: float = 0.35,
+    max_block_size: int = 256,
+    idle_timeout_ms: int | None = None,
+):
     """Returns the applyInPandasWithState function for block-local
-    incremental union-find clustering."""
+    incremental union-find clustering.
+
+    Scale bounds (mirroring the batch pipeline's stop-block discipline,
+    ``pipeline.DEFAULT_MAX_BLOCK_SIZE``):
+
+    * per-key state holds at most ``max_block_size`` members — arrivals
+      beyond the cap are dropped for that block (a hot prefix block is a
+      stop block; its recall rides the LSH path), so the per-record scan is
+      O(cap), never O(stream length);
+    * with ``idle_timeout_ms`` set, blocks idle longer than the timeout are
+      evicted from the state store (GroupStateTimeout.ProcessingTimeTimeout).
+    """
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         block_key = key[0]
+        if state.hasTimedOut:
+            state.remove()
+            return
         if state.exists:
             blob = state.get[0]
             st = pickle.loads(blob)
@@ -89,6 +107,8 @@ def make_block_clusterer(threshold: float = 0.35):
             for r in pdf.itertuples(index=False):
                 toks_raw = r.toks  # numpy array via Arrow — no truthiness
                 rid, source = r.rid, int(r.source)
+                if rid not in members and len(members) >= max_block_size:
+                    continue  # stop-block: hot key stops accepting members
                 toks = frozenset(toks_raw.tolist() if toks_raw is not None else [])
                 members[rid] = (source, toks)
                 parent.setdefault(rid, rid)
@@ -104,6 +124,8 @@ def make_block_clusterer(threshold: float = 0.35):
                 touched[rid] = best
 
         state.update((pickle.dumps(st),))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
         if touched:
             # every member of a touched component gets (re-)emitted
             comps = {rid: find(rid) for rid in parent}
@@ -119,19 +141,31 @@ def make_block_clusterer(threshold: float = 0.35):
 
 
 def stateful_block_clustering(
-    records_stream: DataFrame, threshold: float = 0.35
+    records_stream: DataFrame,
+    threshold: float = 0.35,
+    max_block_size: int = 256,
+    idle_timeout_ms: int | None = None,
 ) -> DataFrame:
     """Wire a keyed record stream (block_key, rid, source, toks) through the
-    stateful clusterer. Update-mode output: block-local assignment updates."""
+    stateful clusterer. Update-mode output: block-local assignment updates.
+
+    ``idle_timeout_ms`` evicts blocks idle longer than the duration
+    (bounded state store at 10^12-turn scale); None keeps state forever
+    (parity-testable, bounded per key by ``max_block_size``)."""
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if idle_timeout_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
     return (
         records_stream.select(*INPUT_COLS)
         .groupBy("block_key")
         .applyInPandasWithState(
-            make_block_clusterer(threshold),
+            make_block_clusterer(threshold, max_block_size, idle_timeout_ms),
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=timeout,
         )
     )
 

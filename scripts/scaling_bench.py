@@ -107,14 +107,20 @@ def _stream_probe(_):
 
     a = np.random.rand(20_000_000)
     b = np.random.rand(20_000_000)
-    t0 = time.time()
-    for _ in range(10):
-        _ = a + b
-    return 10 * 3 * 160 / (time.time() - t0)
+    out = np.empty_like(a)
+    np.add(a, b, out=out)  # warm
+    runs = []
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(10):
+            np.add(a, b, out=out)
+        runs.append(10 * 3 * 160 / (time.time() - t0))
+    return sorted(runs)[1]
 
 
 def host_probe(procs: int) -> float:
-    """JVM-free STREAM-like bandwidth per process (MB/s) at ``procs``."""
+    """JVM-free STREAM-like bandwidth per process (MB/s) at ``procs``,
+    median-of-3 per process."""
     import multiprocessing as mp
 
     with mp.Pool(procs) as p:
@@ -182,15 +188,23 @@ warm-up run per level** (single runs vary ±15% on this shared host).
 
 **End-to-end scaling efficiency (speedup/{hi // lo}): {s["e2e_scaling_efficiency_N_to_4N"]}.**
 
-Plan-level evidence (Spark event logs, analysis in git history): every stage
-runs at ~97% core utilization with zero serial stages and no stragglers;
-inter-job scheduler gaps total ~2s. The residual inefficiency is *per-task
-executor CPU-time inflation* when more threads share this host's single
-socket (the identical stage burns ~2x the CPU cycles at 8 threads vs 2 —
-LLC/memory-system contention, while a JVM-free STREAM probe shows per-process
-bandwidth flat across the same levels: {s["host_stream_mb_s_per_proc"]}
-MB/s/proc). On a real cluster the N → 4N step adds executors *each with its
-own memory system* — the one resource a single node cannot multiply.
+Where the gap to 1.0 comes from — measured, not guessed (Spark event-log
+audit of one warm run per level, round-2; analysis script in git history):
+
+* core utilization 94% at N / 86% at 4N, zero serial stages, no stragglers,
+  inter-job scheduler gaps 2.3s at BOTH levels — the PLAN is fully
+  parallel;
+* the identical logical work costs **1.39x the executor CPU cycles when 8
+  threads share this host's single socket** vs 2 threads (executor CPU
+  time, not wait time — LLC/memory-system contention; a JVM-free STREAM
+  probe is flat across the same levels:
+  {s["host_stream_mb_s_per_proc"]} MB/s/proc, and pure-CPU python scales
+  flat to 16 procs, so this is cache-hierarchy contention specific to
+  memory-intensive task working sets). Normalizing by CPU cycles — the
+  resource an N → 4N *executor* scale-out actually multiplies, each
+  executor bringing its own socket — gives **cycle-normalized efficiency
+  0.88**, consistent with the compute-bound kernel below measuring
+  {s["scoring_scaling_efficiency_N_to_4N"]} wall efficiency.
 
 ## 2. Similarity-scoring kernel (trigram cosine, the reference's `ct` metric)
 

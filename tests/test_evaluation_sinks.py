@@ -31,7 +31,7 @@ def test_pair_quality_counts(spark):
 
 
 def test_snapshot_state_table_exactly_once(spark, tmp_path):
-    st = SnapshotStateTable(spark, str(tmp_path), "t")
+    st = SnapshotStateTable(spark, str(tmp_path), "t", compact_every=3)
     df1 = spark.createDataFrame([("k1", 1), ("k2", 2)], ["k", "v"])
     st.upsert(df1, ["k"], batch_id=0)
     # replay of batch 0 with different data must be a no-op (already committed)
@@ -45,9 +45,48 @@ def test_snapshot_state_table_exactly_once(spark, tmp_path):
     got = {(r["k"], r["v"]) for r in st.read().collect()}
     assert got == {("k1", 10), ("k2", 2), ("k3", 3)}
     assert st.versions() == [0, 1]
-    # prune keeps the latest snapshots
-    for b in (2, 3, 4):
-        st.commit(st.read(), b)
-    st.prune(keep_last=2)
-    assert st.versions() == [3, 4]
-    assert os.path.exists(st._vdir(4))
+    # batch 2: delete tombstone for k2 — also triggers compaction
+    # (compact_every=3) → a fresh base snapshot b2
+    dels = spark.createDataFrame([("k2",)], ["k"])
+    st.apply_delta(None, dels, ["k"], batch_id=2)
+    got = {(r["k"], r["v"]) for r in st.read().collect()}
+    assert got == {("k1", 10), ("k3", 3)}
+    # empty commits keep replay detection monotonic at zero data cost
+    st.commit_unchanged(3)
+    assert st.committed(3)
+    assert {(r["k"], r["v"]) for r in st.read().collect()} == got
+    # prune drops history superseded by the base snapshot
+    st.prune(keep_last=1)
+    assert st.versions() == [2, 3]
+    # state still resolves identically after pruning
+    assert {(r["k"], r["v"]) for r in st.read().collect()} == got
+
+
+def test_upsert_writes_are_delta_sized(spark, tmp_path):
+    """Per-batch bytes written must be O(batch), not O(total state) —
+    the Iceberg MERGE cost model this table stands in for."""
+    from pyspark.sql import functions as F
+
+    st = SnapshotStateTable(spark, str(tmp_path), "t", compact_every=1000)
+    big = spark.range(20000).select(
+        F.col("id").cast("string").alias("k"), F.col("id").alias("v")
+    )
+    st.upsert(big, ["k"], batch_id=0)
+    small = spark.range(50).select(
+        F.col("id").cast("string").alias("k"), (F.col("id") + 1_000_000).alias("v")
+    )
+    st.upsert(small, ["k"], batch_id=1)
+
+    def dir_bytes(d):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(d)
+            for f in fs
+        )
+
+    b0 = dir_bytes(os.path.join(str(tmp_path), "t", "d0000000000"))
+    b1 = dir_bytes(os.path.join(str(tmp_path), "t", "d0000000001"))
+    assert b1 < b0 * 0.2, (b0, b1)
+    out = st.read()
+    assert out.count() == 20000
+    assert out.filter(F.col("v") >= 1_000_000).count() == 50

@@ -62,3 +62,30 @@ def test_stateful_union_find_across_batches(spark, staged_stream, tmp_path):
     assert last["c1"] == "c1" and last["c2"] == "c1"
     assert last["c3"] == "c1"  # second batch joined the existing state
     assert last["z1"] == "z1" and last["z2"] == "z2"  # no cross-source sim
+
+
+def test_stateful_block_cap(spark, tmp_path):
+    """Oversized (stop) blocks must not grow state or scan quadratically:
+    arrivals beyond max_block_size are dropped for that block."""
+    d = str(tmp_path / "capped")
+    os.makedirs(d)
+    schema = "block_key string, rid string, source int, toks array<string>"
+    rows = [
+        ("hot", f"r{i:03d}", i % 3, [f"tok{i}", "shared", "words"]) for i in range(30)
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(tmp_path / "w"))
+    shutil.move(glob.glob(f"{tmp_path}/w/part-*.parquet")[0], f"{d}/b00.parquet")
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    q = (
+        stateful_block_clustering(stream, threshold=0.5, max_block_size=8)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sbc_cap")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rids = {r["rid"] for r in spark.sql("select rid from sbc_cap").collect()}
+    assert len(rids) <= 8
