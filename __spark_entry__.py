@@ -1196,18 +1196,28 @@ FROM valid GROUP BY bk
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs >= 0.35 (quantized-exact)."""
+    """Embedding-cosine near-dup pairs >= 0.9 over a corpus with planted
+    near-duplicates (``data/embeddings.ensure_neardup_embeddings`` — the
+    driver's random embeddings have no near-dups, so a realistic threshold
+    needs the derived shared table). Candidate stage: random-hyperplane LSH
+    buckets + exact quantized verification — no O(n²) join in the plan; the
+    brute-force DuckDB oracle pins that recall is exact on this corpus."""
+    from mapping_analysis_spark.data.embeddings import ensure_neardup_embeddings
     from mapping_analysis_spark.operators.dedup import embedding_neardup
 
-    emb = _tbl(spark, sf_dir, "embeddings")
-    out = embedding_neardup(emb, threshold=0.35)
+    emb = spark.read.parquet(ensure_neardup_embeddings(sf_dir))
+    out = embedding_neardup(emb, threshold=0.9, method="lsh")
     return out.select("a_id", "b_id", sim_e6(F.col("sim")).alias("sim_e6"))
 
 
-SQL_EMBEDDING_NEARDUP = f"""
+def _sql_embedding_neardup() -> str:
+    from mapping_analysis_spark.data.embeddings import ensure_neardup_embeddings
+
+    nd = ensure_neardup_embeddings("/root/testdata/sf0.01")
+    return f"""
 WITH q0 AS (
   SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*10000.0+0.5) AS BIGINT) for x in embedding] AS q
-  FROM embeddings
+  FROM read_parquet('{nd}')
 ),
 base AS (SELECT vec_id, q, list_sum([x*x for x in q]) AS n2 FROM q0),
 s AS (
@@ -1216,7 +1226,7 @@ s AS (
       / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS sim
   FROM base a JOIN base b ON a.vec_id < b.vec_id
 )
-SELECT a_id, b_id, {sqlgen.sim_e6_sql('sim')} AS sim_e6 FROM s WHERE sim >= 0.35
+SELECT a_id, b_id, {sqlgen.sim_e6_sql('sim')} AS sim_e6 FROM s WHERE sim >= 0.9
 """
 
 
@@ -1567,6 +1577,111 @@ FROM assign a LEFT JOIN tcomp ON a.rid = tcomp.node
 """
 
 
+def q_conv_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry-point-C decomposition chain (SURVEY §3.3): blocked match edges →
+    connected components → TypeOverlapCcCreator refinement →
+    ClusteringLinkFilter post-CC 1:n re-elimination
+    (``TypeOverlapCcCreator.java:39-48``,
+    ``ClusteringLinkFilterFunction.java:30-60``). SimSort (iterative) is
+    composed separately and pinned by pytest — it is not one-query
+    SQL-expressible. Sims are quantized to millionths BEFORE the candidate
+    ranking so both engines rank identical integers."""
+    from mapping_analysis_spark.operators.decomposition import type_overlap_cc
+    from mapping_analysis_spark.operators.preprocess import clustering_link_filter
+
+    pairs = _blocked_pairs(spark, sf_dir, ["toks"])
+    scored = pairs.select(
+        "a_rid",
+        "b_rid",
+        sim_e6(token_set_jaccard(F.col("a_toks"), F.col("b_toks"))).cast("double").alias("sim"),
+    ).filter(F.col("sim") >= DEFAULT_THRESHOLD * 1_000_000)
+    edges = scored.select(F.col("a_rid").alias("a"), F.col("b_rid").alias("b")).localCheckpoint(
+        eager=True
+    )
+    comp = connected_components(edges)
+    rec = conversation_records(_t(spark, sf_dir)).select("rid", "source")
+    assign = (
+        rec.join(comp.withColumnRenamed("node", "rid"), "rid", "left")
+        .withColumn("comp", F.coalesce(F.col("comp"), F.col("rid")))
+    )
+    attrs = _attr_records(spark, sf_dir).select("rid", "types")
+    tcc = type_overlap_cc(assign.join(attrs, "rid"), comp_col="comp").withColumnRenamed(
+        "type_cc", "comp"
+    )
+    refined = clustering_link_filter(
+        tcc.join(rec, "rid"),
+        scored.select(F.col("a_rid").alias("a"), F.col("b_rid").alias("b"), "sim"),
+    )
+    return refined.withColumnRenamed("comp", "decomp_comp")
+
+
+SQL_CONV_DECOMPOSITION = None  # composed lazily
+
+
+def _sql_conv_decomposition() -> str:
+    return f"""
+WITH RECURSIVE {_BLOCKED_PAIRS_SQL},
+{_ATTRS_SQL},
+scored AS MATERIALIZED (
+  SELECT a_rid, b_rid, {sqlgen.sim_e6_sql('sim')} AS sim_e6 FROM jac
+  WHERE {sqlgen.sim_e6_sql('sim')} >= {int(DEFAULT_THRESHOLD * 1_000_000)}
+),
+sym0 AS MATERIALIZED (
+  SELECT a_rid AS u, b_rid AS v FROM scored UNION SELECT b_rid, a_rid FROM scored
+),
+reach0 AS (
+  SELECT u, v FROM sym0
+  UNION
+  SELECT r.u, s.v FROM reach0 r JOIN sym0 s ON r.v = s.u
+),
+comp0 AS (SELECT u AS node, least(min(v), u) AS c FROM reach0 GROUP BY u),
+assign AS (
+  SELECT rid, source, coalesce(comp0.c, rid) AS comp
+  FROM rec LEFT JOIN comp0 ON rec.rid = comp0.node
+),
+keyed AS MATERIALIZED (
+  SELECT a.rid, a.comp || '|' || t.t AS tk
+  FROM assign a JOIN attrs at ON at.rid = a.rid, unnest(at.types) AS t(t)
+),
+hub AS (SELECT tk, min(rid) AS hub FROM keyed GROUP BY tk),
+tedges AS MATERIALIZED (
+  SELECT DISTINCT k.rid AS a, h.hub AS b FROM keyed k JOIN hub h USING (tk)
+  WHERE k.rid <> h.hub
+),
+tsym AS MATERIALIZED (SELECT a AS u, b AS v FROM tedges UNION SELECT b, a FROM tedges),
+treach AS (
+  SELECT u, v FROM tsym
+  UNION
+  SELECT r.u, s.v FROM treach r JOIN tsym s ON r.v = s.u
+),
+tcomp AS (SELECT u AS node, least(min(v), u) AS tc FROM treach GROUP BY u),
+tassign AS (
+  SELECT a.rid, a.source, coalesce(tcomp.tc, a.rid) AS comp
+  FROM assign a LEFT JOIN tcomp ON a.rid = tcomp.node
+),
+symsim AS (
+  SELECT a_rid AS rid, b_rid AS nbr, sim_e6 FROM scored
+  UNION ALL
+  SELECT b_rid, a_rid, sim_e6 FROM scored
+),
+agg AS (
+  SELECT s.rid, sum(s.sim_e6) AS agg_sim
+  FROM symsim s
+  JOIN tassign v ON v.rid = s.rid
+  JOIN tassign n ON n.rid = s.nbr AND n.comp = v.comp
+  GROUP BY s.rid
+),
+ranked AS (
+  SELECT t.rid, t.comp,
+    row_number() OVER (
+      PARTITION BY t.comp, t.source
+      ORDER BY coalesce(a.agg_sim, 0) DESC, t.rid ASC) AS rn
+  FROM tassign t LEFT JOIN agg a ON a.rid = t.rid
+)
+SELECT rid, CASE WHEN rn = 1 THEN comp ELSE rid END AS decomp_comp FROM ranked
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -1613,6 +1728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_pair_type_sim": q_conv_pair_type_sim,
         "conv_pair_jarowinkler": q_conv_pair_jarowinkler,
         "conv_type_overlap_cc": q_conv_type_overlap_cc,
+        "conv_decomposition": q_conv_decomposition,
     }
 
 
@@ -1647,7 +1763,7 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT rid, cluster_rid FROM read_parquet('{_ensure_greedy_expected()}')"
         ),
         "conv_hungarian": _sql_conv_hungarian(),
-        "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+        "embedding_neardup": _sql_embedding_neardup(),
         "events_sliding": SQL_EVENTS_SLIDING,
         "match_quality": SQL_MATCH_QUALITY,
         "conv_pair_geo": SQL_CONV_PAIR_GEO,
@@ -1655,4 +1771,5 @@ def oracle_sql() -> dict[str, str]:
         "conv_pair_type_sim": SQL_CONV_PAIR_TYPE_SIM,
         "conv_pair_jarowinkler": SQL_CONV_PAIR_JAROWINKLER,
         "conv_type_overlap_cc": SQL_CONV_TYPE_OVERLAP_CC,
+        "conv_decomposition": _sql_conv_decomposition(),
     }

@@ -135,28 +135,69 @@ def embedding_neardup(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    threshold: float = 0.95,
+    threshold: float = 0.9,
     quantize: float = 10000.0,
+    method: str = "lsh",
+    bits: int = 16,
+    tables: int = 24,
+    dim: int = 64,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs (>= threshold), exact via integer
-    quantization (deterministic doubles across engines). Brute-force
-    candidate stage — swap in random-hyperplane LSH buckets for scale
-    (see ``operators/knn.py``)."""
+    """Embedding-cosine near-dup pairs (>= threshold), exact cosine via
+    integer quantization (deterministic doubles across engines).
+
+    ``method='lsh'`` (default, the 100 TB path): random-hyperplane sketches
+    (``operators/knn.make_hyperplane_sketch_udf``, seeded) bucket the
+    corpus; only pairs sharing a (table, bucket) are exactly verified — the
+    plan contains no O(n²) join. Recall: a pair at cosine s collides per
+    table with prob (1−acos(s)/π)^bits; at the planted near-dup similarity
+    (~0.995) the miss probability with 16 bits × 24 tables is ~4e-10, and
+    corpus pairs below the threshold gap can't be missed because they are
+    filtered by the exact verify anyway — LSH-vs-brute equality is pinned by
+    tests/test_dedup_suite.py. ``method='exact'`` keeps the brute-force
+    theta join for small inputs/verification.
+    """
     q = F.transform(
         F.col(vec_col), lambda x: F.floor(x.cast("double") * quantize + 0.5).cast("long")
     )
-    base = df.select(F.col(id_col), q.alias("q"))
+    base = df.select(F.col(id_col), F.col(vec_col), q.alias("q"))
     dot = lambda u, v: F.aggregate(  # noqa: E731
         F.zip_with(u, v, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x
     )
     base = base.withColumn("n2", dot(F.col("q"), F.col("q")))
-    a = base.select(
-        F.col(id_col).alias("a_id"), F.col("q").alias("qa"), F.col("n2").alias("na")
-    )
-    b = base.select(
-        F.col(id_col).alias("b_id"), F.col("q").alias("qb"), F.col("n2").alias("nb")
-    )
-    pairs = a.join(b, F.col("a_id") < F.col("b_id"))
+    if method == "lsh":
+        from mapping_analysis_spark.operators.knn import make_hyperplane_sketch_udf
+
+        sk = make_hyperplane_sketch_udf(dim=dim, bits=bits, tables=tables)
+        sketched = base.select(
+            F.col(id_col), "q", "n2",
+            F.posexplode(sk(F.col(vec_col))).alias("table_idx", "bucket"),
+        )
+        n_part = df.sparkSession.sparkContext.defaultParallelism * 2
+        sketched = sketched.repartition(n_part, "table_idx", "bucket")
+        a = sketched.select(
+            F.col("table_idx"), F.col("bucket"),
+            F.col(id_col).alias("a_id"), F.col("q").alias("qa"), F.col("n2").alias("na"),
+        )
+        b = sketched.select(
+            F.col("table_idx"), F.col("bucket"),
+            F.col(id_col).alias("b_id"), F.col("q").alias("qb"), F.col("n2").alias("nb"),
+        )
+        pairs = (
+            a.join(
+                b.hint("shuffle_hash"),
+                ["table_idx", "bucket"],
+            )
+            .filter(F.col("a_id") < F.col("b_id"))
+            .dropDuplicates(["a_id", "b_id"])
+        )
+    else:
+        a = base.select(
+            F.col(id_col).alias("a_id"), F.col("q").alias("qa"), F.col("n2").alias("na")
+        )
+        b = base.select(
+            F.col(id_col).alias("b_id"), F.col("q").alias("qb"), F.col("n2").alias("nb")
+        )
+        pairs = a.join(b, F.col("a_id") < F.col("b_id"))
     sim = dot(F.col("qa"), F.col("qb")).cast("double") / (
         F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
     )

@@ -99,6 +99,98 @@ def basic_link_filter(
     )
 
 
+def clustering_link_filter(
+    assignments: DataFrame,
+    scored_edges: DataFrame,
+    id_col: str = "rid",
+    comp_col: str = "comp",
+    source_col: str = "source",
+    sim_col: str = "sim",
+) -> DataFrame:
+    """Post-CC 1:n re-elimination (``ClusteringLinkFilterFunction.java:30-60``
+    + ``FinalOneToManyRemovalFunction``): after the transitive closure a
+    component can again hold several vertices of ONE source; only the best
+    candidate — max aggregated incident similarity inside the component,
+    ties → min id — stays, the rest become singletons.
+
+    Pass integer-quantized sims (e.g. millionths) when engine-exact ranking
+    matters: float sums are order-dependent across engines.
+    Returns (id_col, comp_col) with evicted vertices re-labeled to their own
+    id.
+    """
+    v = assignments.select(id_col, comp_col, source_col)
+    ea = scored_edges.select(F.col("a").alias(id_col), F.col("b").alias("_nbr"), F.col(sim_col))
+    eb = scored_edges.select(F.col("b").alias(id_col), F.col("a").alias("_nbr"), F.col(sim_col))
+    sym = ea.union(eb)
+    # only intra-component similarity counts toward the candidate ranking
+    comp_of = v.select(F.col(id_col).alias("_nbr"), F.col(comp_col).alias("_nc"))
+    agg = (
+        sym.join(v.select(id_col, comp_col), id_col)
+        .join(comp_of, "_nbr")
+        .filter(F.col(comp_col) == F.col("_nc"))
+        .groupBy(id_col)
+        .agg(F.sum(sim_col).alias("_agg"))
+    )
+    ranked = v.join(agg, id_col, "left").withColumn(
+        "_agg", F.coalesce(F.col("_agg"), F.lit(0.0))
+    )
+    w = Window.partitionBy(comp_col, source_col).orderBy(
+        F.col("_agg").desc(), F.col(id_col).asc()
+    )
+    return (
+        ranked.withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            comp_col,
+            F.when(F.col("_rn") == 1, F.col(comp_col)).otherwise(F.col(id_col)),
+        )
+        .select(id_col, comp_col)
+    )
+
+
+def merge_initialization(
+    pre_split: DataFrame,
+    post_split: DataFrame,
+    scored_edges: DataFrame,
+    id_col: str = "rid",
+    comp_col: str = "comp",
+    sim_col: str = "sim",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MergeInitialization's singleton rejoin (``merge/MergeInitialization.
+    java:49-113`` rejoinSingleVertexClustersFromSimSort): SimSort evicts
+    weak vertices to singletons; before merging, a singleton whose best
+    scored edge back into its OLD component clears the threshold rejoins it
+    (reducing merge-step complexity). Returns refreshed (id_col, comp_col).
+    """
+    pre = pre_split.select(F.col(id_col), F.col(comp_col).alias("_old"))
+    post = post_split.select(id_col, comp_col)
+    both = post.join(pre, id_col)
+    singles = both.filter(
+        (F.col(comp_col) == F.col(id_col)) & (F.col("_old") != F.col(id_col))
+    ).select(id_col, "_old")
+    sym = scored_edges.select(
+        F.col("a").alias(id_col), F.col("b").alias("_nbr"), F.col(sim_col)
+    ).union(
+        scored_edges.select(F.col("b").alias(id_col), F.col("a").alias("_nbr"), F.col(sim_col))
+    )
+    # best edge from the singleton back into its old component
+    old_members = both.filter(F.col(comp_col) != F.col(id_col)).select(
+        F.col(id_col).alias("_nbr"), F.col("_old").alias("_nbr_old")
+    )
+    rejoin = (
+        singles.join(sym, id_col)
+        .join(old_members, "_nbr")
+        .filter((F.col("_old") == F.col("_nbr_old")) & (F.col(sim_col) >= threshold))
+        .groupBy(id_col)
+        .agg(F.min("_old").alias("_rejoin"))
+    )
+    return (
+        post.join(rejoin, id_col, "left")
+        .withColumn(comp_col, F.coalesce(F.col("_rejoin"), F.col(comp_col)))
+        .select(id_col, comp_col)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Edge generation + corruption (reference §2.1)
 # ---------------------------------------------------------------------------
@@ -148,4 +240,26 @@ def fabricate_edges(vertices: DataFrame, n: int, id_col: str = "rid", seed: int 
         pairs.join(ids.withColumnRenamed("_r", "_ra").withColumnRenamed("v", "a"), "_ra")
         .join(ids.withColumnRenamed("_r", "_rb").withColumnRenamed("v", "b"), "_rb")
         .select("a", "b")
+    )
+
+
+def representative_edges(
+    representatives: DataFrame, members_col: str = "members", id_col: str = "rid"
+) -> DataFrame:
+    """REPRESENTATIVE strategy (``graph/utils/RepresentativeEdgesCreator.
+    java:28-49``): each representative vertex carries the member-id list of
+    the cluster it stands for; emit every distinct (min, max) pair within
+    that list. Explode + within-representative self-join — pairs stay local
+    to one representative's row group."""
+    m = representatives.select(
+        F.col(id_col).alias("_r"),
+        F.explode(F.array_distinct(F.col(members_col))).alias("_m"),
+    )
+    a = m.select("_r", F.col("_m").alias("a"))
+    b = m.select("_r", F.col("_m").alias("b"))
+    return (
+        a.join(b, "_r")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .dropDuplicates()
     )

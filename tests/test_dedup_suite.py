@@ -73,3 +73,19 @@ def test_embedding_neardup_symmetric_and_thresholded(spark):
     for r in got:
         assert r["a_id"] < r["b_id"]
         assert r["sim"] >= 0.9
+
+
+def test_embedding_neardup_lsh_equals_exact(spark):
+    """The hyperplane-LSH candidate stage must lose no pair vs brute force
+    on the planted-near-dup corpus (the similarity gap makes recall exact)."""
+    from mapping_analysis_spark.data.embeddings import ensure_neardup_embeddings
+    from mapping_analysis_spark.operators.dedup import embedding_neardup
+
+    emb = spark.read.parquet(ensure_neardup_embeddings("/root/testdata/sf0.001"))
+    lsh = {
+        (r["a_id"], r["b_id"]) for r in embedding_neardup(emb, method="lsh").collect()
+    }
+    exact = {
+        (r["a_id"], r["b_id"]) for r in embedding_neardup(emb, method="exact").collect()
+    }
+    assert lsh == exact and len(exact) > 0

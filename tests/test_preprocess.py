@@ -140,3 +140,69 @@ def test_sim_sort_evicts_weak_vertex(spark):
     )
     got = {r["node"]: r["comp"] for r in sim_sort(edges, comps, threshold=0.5).collect()}
     assert got == {"a": "c", "b": "c", "w": "w"}  # weak vertex split out
+
+
+def test_representative_edges(spark):
+    """REPRESENTATIVE strategy: all distinct (min,max) member pairs."""
+    from mapping_analysis_spark.operators.preprocess import representative_edges
+
+    reps = spark.createDataFrame(
+        [("r1", ["x", "y", "z"]), ("r2", ["p", "q"]), ("r3", ["solo"]),
+         ("r4", ["y", "x"])],  # overlapping members across representatives dedup
+        ["rid", "members"],
+    )
+    got = {(r["a"], r["b"]) for r in representative_edges(reps).collect()}
+    assert got == {("x", "y"), ("x", "z"), ("y", "z"), ("p", "q")}
+
+
+def test_clustering_link_filter(spark):
+    """Post-CC 1:n: best aggregated-sim candidate per (comp, source) stays,
+    rest become singletons."""
+    from mapping_analysis_spark.operators.preprocess import clustering_link_filter
+
+    # comp c: a1,a2 from source 1 (1:n!), b1 from source 2
+    assigns = spark.createDataFrame(
+        [("a1", "c", 1), ("a2", "c", 1), ("b1", "c", 2), ("d1", "d", 1)],
+        ["rid", "comp", "source"],
+    )
+    edges = spark.createDataFrame(
+        [("a1", "b1", 900000.0), ("a2", "b1", 800000.0)], ["a", "b", "sim"]
+    )
+    got = {r["rid"]: r["comp"] for r in clustering_link_filter(assigns, edges).collect()}
+    assert got == {"a1": "c", "a2": "a2", "b1": "c", "d1": "d"}
+
+
+def test_merge_initialization_rejoin(spark):
+    """SimSort-evicted singleton rejoins its old component when a scored
+    edge back into it clears the threshold."""
+    from mapping_analysis_spark.operators.preprocess import merge_initialization
+
+    pre = spark.createDataFrame(
+        [("a", "c"), ("b", "c"), ("e", "c"), ("x", "x")], ["rid", "comp"]
+    )
+    post = spark.createDataFrame(  # e was evicted to a singleton
+        [("a", "c"), ("b", "c"), ("e", "e"), ("x", "x")], ["rid", "comp"]
+    )
+    edges = spark.createDataFrame([("e", "a", 0.7), ("e", "x", 0.9)], ["a", "b", "sim"])
+    got = {r["rid"]: r["comp"] for r in merge_initialization(pre, post, edges).collect()}
+    assert got == {"a": "c", "b": "c", "e": "c", "x": "x"}
+
+
+def test_music_csv_source(spark, tmp_path):
+    """CSVDataSource: MusicBrainz columns + the reference's length/year/
+    language cleaning grammar (MusicUtils.java)."""
+    from mapping_analysis_spark.io.csv_source import read_music_csv
+
+    p = str(tmp_path / "music.csv")
+    with open(p, "w") as f:
+        f.write("TID,CID,CTID,SourceID,id,number,title,length,artist,album,year,language\n")
+        f.write('1,10,1,1,x1,7,Title A,4m32sec,Artist A,Album A,\'11,English\n')
+        f.write('2,10,2,2,x2,7,Title B,3.5,Artist B,,86,"German,English"\n')
+        f.write('3,11,3,3,x3,8,Title C,2:30,Artist C,Album C,2009,ge\n')
+        f.write('4,11,4,4,x4,9,Title D,432000,Artist D,Album D,2025,Spanish\n')
+    got = {r["rid"]: r for r in read_music_csv(spark, p).collect()}
+    assert got[1]["length"] == 272 and got[1]["year"] == 2011 and got[1]["language"] == "en"
+    assert got[2]["length"] == 210 and got[2]["year"] == 1986 and got[2]["language"] == "mu"
+    assert got[3]["length"] == 150 and got[3]["year"] == 2009 and got[3]["language"] == "ge"
+    assert got[4]["length"] == 432 and got[4]["year"] is None and got[4]["language"] == "sp"
+    assert got[2]["artist_title_album"] == "Artist B Title B"
