@@ -43,6 +43,10 @@ import pyarrow.parquet as pq
 SEED = 42
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SYNTH_ROOT = os.path.join(_REPO_ROOT, "_synth")
+if ".zip" in _REPO_ROOT:
+    # running from a spark-submit --py-files archive: the package dir is not
+    # writable — cache synthetic data under a stable tmp path instead
+    SYNTH_ROOT = os.environ.get("SPARK_GRAFT_SYNTH_DIR", "/tmp/mapping_analysis_synth")
 
 # Deterministic ~20k-word vocabulary with Zipfian sampling (heavy-tailed like
 # real text — no external data). A tiny flat vocab makes every document pair

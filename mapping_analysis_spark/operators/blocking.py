@@ -26,9 +26,7 @@ column, ready for similarity scoring.
 
 from __future__ import annotations
 
-import itertools
 
-import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
@@ -73,7 +71,7 @@ def salted_block_pairs(
     source_col: str = "source",
     cap: int = 1024,
 ) -> DataFrame:
-    """BLOCK_SPLIT-style skew-aware pair generation.
+    """BLOCK_SPLIT-style skew-aware pair generation — pure JVM.
 
     1. Per-block sizes (broadcast — block-key cardinality is small relative
        to records).
@@ -81,7 +79,10 @@ def salted_block_pairs(
     3. Each record is replicated to every triangle task ``(i, j)`` it
        participates in (``i == s`` or ``j == s``; i <= j) — at most ``m``
        copies, and only for genuinely hot blocks (m == 1 → one copy).
-    4. ``applyInPandas`` per (block, i, j) emits the cross/intra pairs.
+    4. A self-join keyed on (block, i, j) — the left side playing role i,
+       the right side role j — emits every pair exactly once, entirely
+       inside whole-stage codegen (the earlier ``applyInPandas`` kernel
+       shipped every pair through Arrow + a Python loop).
 
     At 100 TB this bounds the largest task at ~cap² pair evaluations and lets
     1000 executors chew one mega-block concurrently, which a plain self-join
@@ -100,39 +101,36 @@ def salted_block_pairs(
     )
     # A record with salt s appears in task (i,j) once unless i==j==s (once).
     rec = rec.dropDuplicates([id_col, block_col, "_ti", "_tj"])
+    rec = rec.localCheckpoint(eager=False)  # both join sides read this subtree
 
     payload_cols = records.columns
-    out_schema = _pair_schema(records.select(payload_cols))
-    salt_col_ix = len(payload_cols)
-
-    def gen(key, pdf: pd.DataFrame):
-        _block, ti, tj = key[0], key[1], key[2]
-        rows_a = pdf[pdf["_salt"] == ti]
-        rows_b = pdf[pdf["_salt"] == tj]
-        out = []
-        if ti == tj:
-            it = itertools.combinations(rows_a.itertuples(index=False), 2)
-        else:
-            it = itertools.product(
-                rows_a.itertuples(index=False), rows_b.itertuples(index=False)
-            )
-        id_ix = payload_cols.index(id_col)
-        src_ix = payload_cols.index(source_col) if cross_source_only else None
-        for x, y in it:
-            if x[id_ix] == y[id_ix]:
-                continue
-            if x[id_ix] > y[id_ix]:
-                x, y = y, x
-            if src_ix is not None and x[src_ix] == y[src_ix]:
-                continue
-            out.append(tuple(x[:salt_col_ix]) + tuple(y[:salt_col_ix]))
-        names = [f"a_{c}" for c in payload_cols] + [f"b_{c}" for c in payload_cols]
-        return pd.DataFrame(out, columns=names) if out else pd.DataFrame(columns=names)
-
-    grouped = rec.select(payload_cols + ["_salt", "_ti", "_tj"]).groupBy(
-        block_col, "_ti", "_tj"
+    a = rec.filter(F.col("_salt") == F.col("_ti")).select(
+        block_col, "_ti", "_tj", *[F.col(c).alias(f"a_{c}") for c in payload_cols]
     )
-    return grouped.applyInPandas(gen, out_schema)
+    b = rec.filter(F.col("_salt") == F.col("_tj")).select(
+        block_col, "_ti", "_tj", *[F.col(c).alias(f"b_{c}") for c in payload_cols]
+    )
+    joined = a.join(b.hint("shuffle_hash"), [block_col, "_ti", "_tj"]).filter(
+        F.col(f"a_{id_col}") != F.col(f"b_{id_col}")
+    )
+    # Intra-group tasks (i == j) see each unordered pair twice (both rows in
+    # both roles) — keep the a<b orientation only. Cross-group tasks see it
+    # once with arbitrary orientation — normalize via least/greatest.
+    intra = F.col("_ti") == F.col("_tj")
+    joined = joined.filter(~intra | (F.col(f"a_{id_col}") < F.col(f"b_{id_col}")))
+    if cross_source_only:
+        joined = joined.filter(F.col(f"a_{source_col}") != F.col(f"b_{source_col}"))
+    swap = F.col(f"a_{id_col}") > F.col(f"b_{id_col}")
+    out_cols = []
+    for c in payload_cols:
+        out_cols.append(
+            F.when(swap, F.col(f"b_{c}")).otherwise(F.col(f"a_{c}")).alias(f"a_{c}")
+        )
+    for c in payload_cols:
+        out_cols.append(
+            F.when(swap, F.col(f"a_{c}")).otherwise(F.col(f"b_{c}")).alias(f"b_{c}")
+        )
+    return joined.select(*out_cols)
 
 
 def lsh_band_pairs(
