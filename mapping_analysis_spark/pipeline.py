@@ -210,7 +210,10 @@ def featurize_records(
         "toks",
         mh(F.col("_sg")).alias("minhash"),
     )
-    return rec.localCheckpoint(eager=True)
+    # lazy: the first consumer (pruned_block_rows' eager checkpoint) is the
+    # materializing action — one job computes both, later consumers hit the
+    # cached blocks
+    return rec.localCheckpoint(eager=False)
 
 
 def pruned_block_rows(
