@@ -6,14 +6,32 @@ clusters to JSON, start a new Flink job per source increment, re-match, save
 again). Micro-batches + versioned state tables + Spark checkpointing replace
 the save-to-JSON-and-reload cycle (SURVEY.md §3.2).
 
+Per-batch cost is **O(batch), not O(total state)**: every state table is
+bucket-partitioned on its key (Iceberg ``bucket(N, key)`` analogue — see
+``streaming/sinks.py``) and every per-batch read is a pruned ``read_for``
+touching only the buckets of the keys this batch needs:
+
+* ``turns``        (conv_id, turn_idx) — read only affected conversations
+* ``records``      (rid)               — read only affected/candidate rids
+* ``blocks``       (bk, rid)           — posting list: members of touched
+  blocking keys only
+* ``block_sizes``  (bk)                — per-block counts maintained
+  INCREMENTALLY (old + delta), never re-aggregated over all records
+* ``bands``        (band_idx, band_hash, rid) — LSH posting list, read only
+  the batch's band hashes
+* ``edges``        (u, v) doubled      — incident-edge lookup = one bucket
+  read per endpoint
+* ``node_comp`` / ``comp_members``     — node→component and its secondary
+  index component→members (dirty-component membership without scanning)
+
 Algorithm per micro-batch (``foreachBatch``):
 
 1. upsert new turns into ``turns`` state, keyed ``(conv_id, turn_idx)``
 2. A = conversations touched by this batch
-3. rebuild conversation records for A only; upsert into ``records`` /
-   ``bands`` (MinHash band index) state
+3. rebuild conversation records for A only; delta the ``records`` /
+   ``blocks`` / ``bands`` posting state and the incremental ``block_sizes``
 4. candidate pairs touching A = prefix-block join ∪ LSH-band join against
-   the *current* index (the reference's SOURCE_ADDITION step,
+   the *pruned current* index (the reference's SOURCE_ADDITION step,
    ``SourceAdditionClustering.java:62-191``)
 5. verify with token-set Jaccard >= threshold → new edges; **replace** all
    edges incident to A (a changed conversation re-derives its whole edge
@@ -29,7 +47,9 @@ Algorithm per micro-batch (``foreachBatch``):
 Every state commit is idempotent per ``batch_id`` (atomic rename; replayed
 batches skip), so a job killed at any point resumes from the Spark
 checkpoint and produces the identical final table — verified by
-``tests/test_streaming_parity.py`` against the batch oracle.
+``tests/test_streaming_parity.py`` against the batch oracle. Flat per-batch
+scan volume on a growing state is asserted by
+``tests/test_streaming_scan_volume.py``.
 
 Invariant (BASELINE.json north_rule): for the same input stream + watermark
 the final sink equals the batch pipeline row-for-row under stable
@@ -52,20 +72,14 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-from mapping_analysis_spark.functions.simfns import make_minhash_udf
-from mapping_analysis_spark.functions.text import (
-    blocking_key,
-    distinct_tokens,
-    token_set_jaccard,
-)
 from mapping_analysis_spark.operators.clustering import connected_components
 from mapping_analysis_spark.pipeline import (
     DEFAULT_BLOCK_LENGTH,
     DEFAULT_LSH_BANDS,
     DEFAULT_MAX_BLOCK_SIZE,
     DEFAULT_THRESHOLD,
-    block_keys_array,
     conversation_records,
+    featurize_records,
 )
 from mapping_analysis_spark.streaming.sinks import SnapshotStateTable
 
@@ -92,21 +106,61 @@ class IncrementalClusteringJob:
         block_length: int = DEFAULT_BLOCK_LENGTH,
         lsh_bands: int = DEFAULT_LSH_BANDS,
         max_block_size: int = DEFAULT_MAX_BLOCK_SIZE,
+        state_buckets: int = 16,
+        track_scans: bool = False,
     ) -> None:
         self.spark = spark
         self.threshold = threshold
         self.block_length = block_length
         self.lsh_bands = lsh_bands
         self.max_block_size = max_block_size
-        self.turns = SnapshotStateTable(spark, state_dir, "turns")
-        self.records = SnapshotStateTable(spark, state_dir, "records")
-        self.bands = SnapshotStateTable(spark, state_dir, "bands")
-        self.edges = SnapshotStateTable(spark, state_dir, "edges")
-        self.comps = SnapshotStateTable(spark, state_dir, "comps")
-        self.assignments = SnapshotStateTable(spark, state_dir, "assignments")
+
+        def tbl(name: str, bucket_by: list[str]) -> SnapshotStateTable:
+            return SnapshotStateTable(
+                spark,
+                state_dir,
+                name,
+                bucket_by=bucket_by,
+                num_buckets=state_buckets,
+                track_scans=track_scans,
+            )
+
+        self.turns = tbl("turns", ["conv_id"])
+        self.records = tbl("records", ["rid"])
+        self.blocks = tbl("blocks", ["bk"])
+        self.block_sizes = tbl("block_sizes", ["bk"])
+        self.bands = tbl("bands", ["band_hash"])
+        self.edges = tbl("edges", ["u"])  # doubled: (u,v) and (v,u)
+        self.node_comp = tbl("node_comp", ["node"])
+        self.comp_members = tbl("comp_members", ["comp"])
+        self.assignments = tbl("assignments", ["conv_id"])
         self.metrics_path = os.path.join(state_dir, "metrics.jsonl")
-        self.state_metrics_every = 5
-        self._minhash = make_minhash_udf(num_hashes=lsh_bands, shingle_width=1)
+        # full-table counts are O(state) maintenance observation — sampled,
+        # 0 disables (default: per-batch metrics must stay O(batch))
+        self.state_metrics_every = 0
+
+    @property
+    def _tables(self) -> list[SnapshotStateTable]:
+        return [
+            self.turns, self.records, self.blocks, self.block_sizes, self.bands,
+            self.edges, self.node_comp, self.comp_members, self.assignments,
+        ]
+
+    # -- small helpers --------------------------------------------------------
+
+    def _empty(self, schema: str) -> DataFrame:
+        return self.spark.createDataFrame([], schema)
+
+    @staticmethod
+    def _canon(df: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
+        return df.select(
+            F.least(u, v).alias("a"), F.greatest(u, v).alias("b")
+        ).dropDuplicates(["a", "b"])
+
+    @staticmethod
+    def _double(df: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+        fwd = df.select(F.col(a).alias("u"), F.col(b).alias("v"))
+        return fwd.union(df.select(F.col(b).alias("u"), F.col(a).alias("v")))
 
     # -- per-batch kernel ---------------------------------------------------
 
@@ -128,157 +182,159 @@ class IncrementalClusteringJob:
         n_rows = batch_df.count()
         if n_rows == 0:
             # empty deltas keep replay detection monotonic at zero data cost
-            for st in (self.turns, self.records, self.bands, self.edges, self.comps,
-                       self.assignments):
+            for st in self._tables:
                 st.commit_unchanged(batch_id)
             self._log(batch_id, 0, t0)
             return
 
-        # 1-2. turn state + affected conversations
-        turns = self.turns.upsert(batch_df, ["conv_id", "turn_idx"], batch_id)
-        affected = batch_df.select("conv_id").distinct()
-        old_records = self.records.read()  # pre-upsert snapshot (cap crossings)
+        # 1-2. turn state + affected conversations (pruned read: only the
+        # buckets holding the affected conversations are scanned)
+        affected = (
+            batch_df.select("conv_id").distinct().localCheckpoint(eager=True)
+        )
+        affected_r = affected.withColumnRenamed("conv_id", "rid")
+        old_recs = self.records.read_for(affected_r)  # pre-upsert snapshot
+        if old_recs is not None:
+            old_recs = old_recs.localCheckpoint(eager=True)
+        self.turns.upsert(batch_df, ["conv_id", "turn_idx"], batch_id)
+        turns_aff = self.turns.read_for(affected)
 
-        # 3. re-derive records for affected conversations only
-        recs_full = conversation_records(
-            turns.join(F.broadcast(affected), "conv_id", "left_semi")
+        # 3. re-derive records for affected conversations only — identical
+        # featurization to the batch pipeline (featurize_records), plus the
+        # per-record LSH band-hash array (band_hash = xxhash64 of the MinHash
+        # value, position = band index) stored ON the record so old postings
+        # are recoverable without scanning the posting lists.
+        recs_full = featurize_records(
+            conversation_records(turns_aff),
+            lsh_bands=self.lsh_bands,
+            block_length=self.block_length,
         )
-        # identical featurization to pipeline.featurize_records (hashed int64
-        # tokens; shingle hash = hash-combine of 3 consecutive token hashes —
-        # MUST stay in lockstep with the batch path for streaming==batch
-        # parity)
-        recs_full = recs_full.withColumn("bks", block_keys_array(self.block_length))
-        recs_full = recs_full.withColumn(
-            "_th",
-            F.transform(
-                F.filter(F.split(F.col("doc"), " "), lambda t: t != F.lit("")),
-                lambda t: F.xxhash64(t),
-            ),
-        )
-        recs_full = recs_full.withColumn("toks", F.array_distinct(F.col("_th")))
         recs_full = (
             recs_full.withColumn(
-                "sg",
-                F.array_distinct(
-                    F.transform(
-                        F.sequence(
-                            F.lit(1), F.greatest(F.lit(1), F.size(F.col("_th")) - 2)
-                        ),
-                        lambda i: F.pmod(
-                            F.xxhash64(
-                                F.try_element_at(F.col("_th"), i),
-                                F.try_element_at(F.col("_th"), i + 1),
-                                F.try_element_at(F.col("_th"), i + 2),
-                            ),
-                            F.lit(4294967296),
-                        ),
-                    )
+                "bands",
+                F.transform(
+                    F.col("minhash"), lambda h: F.xxhash64(h.cast("string"))
                 ),
             )
-            .drop("_th")
-            .select("rid", "source", "bks", "toks", "sg")
+            .select("rid", "source", "bks", "toks", "bands")
             .localCheckpoint(eager=True)
         )
-        recs_a = recs_full.select("rid", "source", "bks", "toks")
-        records = self.records.upsert(recs_a, ["rid"], batch_id)
+        self.records.upsert(recs_full, ["rid"], batch_id)
 
-        # same LSH feature as the batch pipeline: MinHash over word 3-shingles
-        bands_a = recs_full.select(
-            "rid",
-            F.posexplode(
-                F.transform(
-                    self._minhash(F.col("sg")), lambda h: F.xxhash64(h.cast("string"))
-                )
-            ).alias("band_idx", "band_hash"),
-        )
-        bands = self.bands.upsert(bands_a, ["rid", "band_idx"], batch_id)
-
-        # 4a. stop-block pruning + cap-crossing detection: when a block's
-        # size crosses max_block_size (either direction), every member's edge
-        # set must be re-derived so the final edge set equals the batch
-        # pipeline's on the final records (prefix pairs appear/disappear).
-        def _exploded(df: DataFrame) -> DataFrame:
-            return df.select("rid", F.explode("bks").alias("bk"))
-
-        changed_blocks = _exploded(recs_a).select("bk")
-        if old_records is not None:
-            changed_blocks = changed_blocks.union(
-                _exploded(
-                    old_records.join(
-                        F.broadcast(affected.withColumnRenamed("conv_id", "rid")),
-                        "rid",
-                        "left_semi",
-                    )
-                ).select("bk")
+        # 3b. posting-list deltas (blocks, bands) + INCREMENTAL block sizes
+        new_post = recs_full.select("rid", F.explode("bks").alias("bk"))
+        if old_recs is not None:
+            old_post = old_recs.select("rid", F.explode("bks").alias("bk"))
+            old_bands = old_recs.select(
+                "rid",
+                F.posexplode("bands").alias("band_idx", "band_hash"),
             )
-        changed_blocks = changed_blocks.distinct()
-        new_sz = (
-            _exploded(records)
-            .groupBy("bk")
-            .agg(F.count("*").alias("n_new"))
-            .join(F.broadcast(changed_blocks), "bk", "left_semi")
-        )
-        if old_records is not None:
-            old_sz = (
-                _exploded(old_records)
-                .groupBy("bk")
-                .agg(F.count("*").alias("n_old"))
-                .join(F.broadcast(changed_blocks), "bk", "left_semi")
-            )
-            sz = new_sz.join(old_sz, "bk", "left").fillna({"n_old": 0})
         else:
-            sz = new_sz.withColumn("n_old", F.lit(0))
+            old_post = self._empty("rid string, bk string")
+            old_bands = self._empty("rid string, band_idx int, band_hash long")
+        del_post = old_post.join(new_post, ["bk", "rid"], "left_anti")
+        self.blocks.apply_delta(new_post, del_post, ["bk", "rid"], batch_id)
+
+        new_bands = recs_full.select(
+            "rid", F.posexplode("bands").alias("band_idx", "band_hash")
+        )
+        del_bands = old_bands.join(
+            new_bands, ["band_idx", "band_hash", "rid"], "left_anti"
+        )
+        self.bands.apply_delta(
+            new_bands, del_bands, ["band_idx", "band_hash", "rid"], batch_id
+        )
+
+        # block sizes: old + delta, only for blocks whose membership changed —
+        # never re-aggregated over the full records state
+        dn = (
+            new_post.groupBy("bk").agg(F.count("*").alias("n_add"))
+            .join(
+                old_post.groupBy("bk").agg(F.count("*").alias("n_del")),
+                "bk",
+                "full_outer",
+            )
+            .fillna({"n_add": 0, "n_del": 0})
+            .withColumn("dn", F.col("n_add") - F.col("n_del"))
+            .select("bk", "dn")
+            .localCheckpoint(eager=True)
+        )
+        old_sz = self.block_sizes.read_for(dn.select("bk"))
+        if old_sz is None:
+            old_sz = self._empty("bk string, n long")
+        sized = (
+            dn.join(old_sz, "bk", "left")
+            .fillna({"n": 0})
+            .withColumn("n_new", F.col("n") + F.col("dn"))
+            .withColumnRenamed("n", "n_old")
+            .localCheckpoint(eager=True)
+        )
+        self.block_sizes.apply_delta(
+            sized.filter(F.col("n_new") > 0).select(
+                "bk", F.col("n_new").alias("n")
+            ),
+            sized.filter(F.col("n_new") <= 0).select("bk"),
+            ["bk"],
+            batch_id,
+        )
+
+        # 4a. cap-crossing detection: when a block's size crosses
+        # max_block_size (either direction), every member's edge set must be
+        # re-derived so the final edge set equals the batch pipeline's on the
+        # final records (prefix pairs appear/disappear).
         cap = self.max_block_size
-        crossed = sz.filter(
+        crossed = sized.filter(
             (F.col("n_old") <= cap) != (F.col("n_new") <= cap)
         ).select("bk")
+        crossed_members = self.blocks.read_for(crossed)
+        if crossed_members is None:
+            crossed_members = self._empty("bk string, rid string")
         extra = (
-            _exploded(records)
-            .join(F.broadcast(crossed), "bk", "left_semi")
-            .select("rid")
+            crossed_members.select("rid")
             .distinct()
-            .join(
-                F.broadcast(affected.withColumnRenamed("conv_id", "rid")),
-                "rid",
-                "left_anti",
-            )
+            .join(F.broadcast(affected_r), "rid", "left_anti")
         )
         a_ids = (
-            recs_a.select(F.col("rid")).union(extra.select("rid")).distinct()
-            .select(F.col("rid").alias("x"))
-            .localCheckpoint(eager=True)
+            affected_r.union(extra).distinct().localCheckpoint(eager=True)
         )
 
-        # 4b. candidates touching the re-derive set (prefix blocks ∪ LSH
-        # bands, against the full index), oversized blocks excluded
-        exploded_all = _exploded(records).localCheckpoint(eager=True)
-        ok_blocks = (
-            exploded_all.groupBy("bk")
-            .agg(F.count("*").alias("_bn"))
-            .filter(F.col("_bn") <= cap)
-            .select("bk")
+        # featurized rows for the full re-derive set (post-upsert state)
+        recs_a = self.records.read_for(a_ids)
+        recs_a = recs_a.localCheckpoint(eager=True)
+
+        # 4b. candidates touching the re-derive set: prefix blocks ∪ LSH
+        # bands, joined against the PRUNED current index (only buckets of the
+        # a-side's keys are read), oversized blocks excluded on both sides
+        a_post = recs_a.select("rid", F.explode("bks").alias("bk"))
+        a_bks = a_post.select("bk").distinct()
+        sz_a = self.block_sizes.read_for(a_bks)
+        if sz_a is None:
+            sz_a = self._empty("bk string, n long")
+        ok_bks = sz_a.filter(F.col("n") <= cap).select("bk").localCheckpoint(
+            eager=True
         )
-        blk = exploded_all.join(F.broadcast(ok_blocks), "bk", "left_semi")
+        b_post = self.blocks.read_for(ok_bks)
+        if b_post is None:
+            b_post = self._empty("bk string, rid string")
         p_block = (
-            blk.join(F.broadcast(a_ids.withColumnRenamed("x", "rid")), "rid", "left_semi")
+            a_post.join(F.broadcast(ok_bks), "bk", "left_semi")
             .alias("a")
-            .join(blk.alias("b"), F.col("a.bk") == F.col("b.bk"))
+            .join(b_post.alias("b"), "bk")
             .filter(F.col("a.rid") != F.col("b.rid"))
             .select(
                 F.least("a.rid", "b.rid").alias("a_rid"),
                 F.greatest("a.rid", "b.rid").alias("b_rid"),
             )
         )
-        bands_x = bands.join(
-            F.broadcast(a_ids.withColumnRenamed("x", "rid")), "rid", "left_semi"
+        a_bands = recs_a.select(
+            "rid", F.posexplode("bands").alias("band_idx", "band_hash")
         )
+        b_bands = self.bands.read_for(a_bands.select("band_hash").distinct())
+        if b_bands is None:
+            b_bands = self._empty("band_idx int, band_hash long, rid string")
         p_band = (
-            bands_x.alias("a")
-            .join(
-                bands.alias("b"),
-                (F.col("a.band_idx") == F.col("b.band_idx"))
-                & (F.col("a.band_hash") == F.col("b.band_hash")),
-            )
+            a_bands.alias("a")
+            .join(b_bands.alias("b"), ["band_idx", "band_hash"])
             .filter(F.col("a.rid") != F.col("b.rid"))
             .select(
                 F.least("a.rid", "b.rid").alias("a_rid"),
@@ -287,74 +343,81 @@ class IncrementalClusteringJob:
         )
         cand = p_block.union(p_band).dropDuplicates(["a_rid", "b_rid"])
 
-        # 5. verify + replace edges incident to A
-        ra = records.select(
+        # 5. verify + replace edges incident to A — payloads come from a
+        # pruned read of exactly the candidate rids
+        cand = cand.localCheckpoint(eager=True)
+        cand_rids = (
+            cand.select(F.col("a_rid").alias("rid"))
+            .union(cand.select(F.col("b_rid").alias("rid")))
+            .distinct()
+        )
+        recs_c = self.records.read_for(cand_rids)
+        if recs_c is None:
+            recs_c = recs_a.limit(0)
+        ra = recs_c.select(
             F.col("rid").alias("a_rid"),
             F.col("source").alias("a_source"),
             F.col("toks").alias("a_toks"),
         )
-        rb = records.select(
+        rb = recs_c.select(
             F.col("rid").alias("b_rid"),
             F.col("source").alias("b_source"),
             F.col("toks").alias("b_toks"),
         )
+        from mapping_analysis_spark.pipeline import jaccard_ge
+
         e_new = (
             cand.join(ra, "a_rid")
             .join(rb, "b_rid")
-            .filter(F.col("a_source") != F.col("b_source"))
-            .withColumn("sim", token_set_jaccard(F.col("a_toks"), F.col("b_toks")))
-            .filter(F.col("sim") >= F.lit(self.threshold))
+            .filter(
+                (F.col("a_source") != F.col("b_source"))
+                & jaccard_ge(F.col("a_toks"), F.col("b_toks"), self.threshold)
+            )
             .select(F.col("a_rid").alias("a"), F.col("b_rid").alias("b"))
         )
-        # delta commit: upsert this batch's edges, tombstone previously-stored
-        # edges incident to the re-derive set that no longer verify —
-        # O(batch-incident edges) written, not O(total edge state)
         e_new = e_new.dropDuplicates(["a", "b"]).localCheckpoint(eager=True)
-        old_edges = self.edges.read()
-        removed = None
-        if old_edges is not None:
-            # two hash semi-joins (one per endpoint) — an OR-condition semi
-            # join would plan as a nested loop, O(E·|A|) per batch
-            ax = a_ids.withColumnRenamed("x", "a")
-            bx = a_ids.withColumnRenamed("x", "b")
-            old_inc = (
-                old_edges.select("a", "b").join(F.broadcast(ax), "a", "left_semi")
-                .unionByName(
-                    old_edges.select("a", "b").join(F.broadcast(bx), "b", "left_semi")
-                )
-                .dropDuplicates(["a", "b"])
-            )
-            removed = old_inc.join(e_new, ["a", "b"], "left_anti")
-        edges_all = self.edges.apply_delta(
-            e_new, removed, ["a", "b"], batch_id
-        ).localCheckpoint(eager=True)
+
+        # incident edges of the re-derive set: doubled storage → one pruned
+        # bucket read covers both endpoint directions
+        old_inc_d = self.edges.read_for(a_ids.withColumnRenamed("rid", "u"))
+        if old_inc_d is None:
+            old_inc_d = self._empty("u string, v string")
+        old_inc = self._canon(old_inc_d)
+        removed = old_inc.join(e_new, ["a", "b"], "left_anti")
+        self.edges.apply_delta(
+            self._double(e_new), self._double(removed), ["u", "v"], batch_id
+        )
 
         # 6. dirty-component recompute (scope: full re-derive set + new-edge
-        # endpoints — includes cap-crossing block members)
-        old_comps = self.comps.read()
+        # endpoints — includes cap-crossing block members). comp_members is
+        # the secondary index: membership of a dirty component without
+        # scanning the full node→comp state.
         dirty_nodes = (
-            a_ids.withColumnRenamed("x", "node")
+            a_ids.withColumnRenamed("rid", "node")
             .union(e_new.select(F.col("a").alias("node")))
             .union(e_new.select(F.col("b").alias("node")))
             .distinct()
+            .localCheckpoint(eager=True)
         )
-        if old_comps is not None:
-            dirty_comp_ids = (
-                old_comps.join(dirty_nodes, "node", "left_semi")
-                .select("comp")
-                .distinct()
-            )
-            dirty_members = old_comps.join(dirty_comp_ids, "comp", "left_semi").select(
-                "node"
-            )
+        old_nc = self.node_comp.read_for(dirty_nodes)
+        if old_nc is not None:
+            dirty_comp_ids = old_nc.select("comp").distinct()
+            dirty_members = self.comp_members.read_for(dirty_comp_ids)
         else:
-            dirty_members = self.spark.createDataFrame([], "node string")
-        scope = dirty_members.union(dirty_nodes.select("node")).distinct()
-        sub_edges = (
-            edges_all.join(scope.withColumnRenamed("node", "a"), "a", "left_semi")
-            .union(edges_all.join(scope.withColumnRenamed("node", "b"), "b", "left_semi"))
-            .dropDuplicates(["a", "b"])
+            dirty_members = None
+        if dirty_members is None:
+            dirty_members = self._empty("comp string, node string")
+        dirty_members = dirty_members.localCheckpoint(eager=True)
+        scope = (
+            dirty_members.select("node")
+            .union(dirty_nodes)
+            .distinct()
+            .localCheckpoint(eager=True)
         )
+        sub_d = self.edges.read_for(scope.withColumnRenamed("node", "u"))
+        if sub_d is None:
+            sub_d = self._empty("u string, v string")
+        sub_edges = self._canon(sub_d)
         recomputed = connected_components(sub_edges)
         # nodes in scope with no edges → singleton components
         singles = scope.join(
@@ -363,19 +426,33 @@ class IncrementalClusteringJob:
         new_part = recomputed.union(singles).localCheckpoint(eager=True)
         # delta commit: only the recomputed (dirty) partition is written —
         # clean components carry over untouched in the state table
-        self.comps.apply_delta(new_part, None, ["node"], batch_id)
+        self.node_comp.apply_delta(new_part, None, ["node"], batch_id)
+        self.comp_members.apply_delta(
+            new_part.select("comp", "node"),
+            dirty_members.select("comp", "node"),
+            ["comp", "node"],
+            batch_id,
+        )
 
         # 7. exactly-once assignment upsert for the recomputed scope
         updates = new_part.select(
             F.col("node").alias("conv_id"), F.col("comp").alias("cluster_id")
         )
         self.assignments.upsert(updates, ["conv_id"], batch_id)
-        for st in (self.turns, self.records, self.bands, self.edges, self.comps,
-                   self.assignments):
+        for st in self._tables:
             st.prune(keep_last=3)
         self._log(batch_id, n_rows, t0, input_files=input_files)
 
     # -- metrics (north rule: per-partition lineage + throughput per batch) --
+
+    def scan_stats(self, reset: bool = False) -> dict:
+        """Aggregated pruned-read volume across all state tables."""
+        tot = {"read_rows": 0, "read_calls": 0, "compact_rows": 0}
+        for st in self._tables:
+            s = st.reset_scan_stats() if reset else st.scan_stats
+            for k in tot:
+                tot[k] += s[k]
+        return tot
 
     def _log(self, batch_id: int, n_rows: int, t0: float, replayed: bool = False,
              input_files: list[str] | None = None) -> None:
@@ -388,12 +465,16 @@ class IncrementalClusteringJob:
             "replayed": replayed,
             "lineage_files": (input_files or [])[:20],
         }
-        # state-size metrics are full-table counts — sample them instead of
-        # paying two extra jobs on EVERY micro-batch (scale: 10^12 turns)
-        if batch_id % self.state_metrics_every == 0 and not replayed:
+        # state-size metrics are full-table counts (O(state) observation) —
+        # sampled only when explicitly enabled
+        if (
+            self.state_metrics_every
+            and batch_id % self.state_metrics_every == 0
+            and not replayed
+        ):
             rec["state_rows"] = {
                 name: (st.read().count() if st.read() is not None else 0)
-                for name, st in [("edges", self.edges), ("comps", self.comps)]
+                for name, st in [("edges", self.edges), ("comps", self.node_comp)]
             }
         with open(self.metrics_path, "a") as f:
             f.write(json.dumps(rec) + "\n")

@@ -13,14 +13,26 @@ Iceberg merge-on-read table:
   (the analogue of Iceberg's data + delete files). Per-batch bytes written
   are O(batch), NOT O(total state) — asserted by
   ``tests/test_evaluation_sinks.py::test_upsert_writes_are_delta_sized``.
+* **Bucket partitioning** — tables declare ``bucket_by`` key columns; every
+  committed directory is hive-partitioned on ``_bucket =
+  pmod(xxhash64(bucket_by), num_buckets)`` (Iceberg's ``bucket(N, key)``
+  transform). ``read_for(keys)`` prunes to the partitions holding the
+  requested keys, so per-batch READS are O(touched buckets), not O(total
+  state) — asserted by ``tests/test_streaming_scan_volume.py``.
 * **Atomic, idempotent versions** — every directory commits via
   write-to-tmp + atomic rename; a replayed batch (after failure/restart)
   sees its version already committed and skips → exactly-once output.
 * **Merge-on-read** — readers resolve the latest row per key across the
   base snapshot and newer deltas (latest batch wins; tombstones drop rows).
 * **Compaction** — after ``compact_every`` deltas a commit folds everything
-  into a new base snapshot ``b{batch_id}`` (Iceberg's rewrite_data_files),
-  bounding read amplification.
+  into a new base snapshot ``b{batch_id}`` (Iceberg's rewrite_data_files).
+  This is the one O(state) write; it is amortized (every ``compact_every``
+  batches), exactly like Iceberg table maintenance, and is accounted
+  separately from per-batch scan volume (``scan_stats['compact_rows']``).
+
+When real Iceberg jars ARE on the classpath, :class:`IcebergStateTable`
+(same interface, ``MERGE INTO`` + ``bucket(N, key)`` partitioning) is the
+production implementation — see ``make_state_table``.
 """
 
 from __future__ import annotations
@@ -33,18 +45,42 @@ from pyspark.sql import functions as F
 
 _OP = "_op"  # 'u' upsert, 'd' delete tombstone
 _BATCH = "_batch"
+_BUCKET = "_bucket"
+
+
+def _has_parquet(d: str) -> bool:
+    for r, _, fs in os.walk(d):
+        if any(f.endswith(".parquet") for f in fs):
+            return True
+    return False
 
 
 class SnapshotStateTable:
     """Keyed state table with exactly-once delta commits (Iceberg
-    merge-on-read stand-in). Keys are fixed per table at first write."""
+    merge-on-read stand-in). Keys are fixed per table at first write.
+
+    ``bucket_by`` (a subset of the key columns, required for ``read_for``)
+    enables Iceberg-style bucket partition pruning: directories are
+    partitioned on ``pmod(xxhash64(*bucket_by), num_buckets)`` and pruned
+    reads touch only the buckets of the requested keys."""
 
     def __init__(
-        self, spark: SparkSession, root: str, name: str, compact_every: int = 8
+        self,
+        spark: SparkSession,
+        root: str,
+        name: str,
+        compact_every: int = 8,
+        bucket_by: list[str] | None = None,
+        num_buckets: int = 32,
+        track_scans: bool = False,
     ) -> None:
         self.spark = spark
         self.root = os.path.join(root, name)
         self.compact_every = compact_every
+        self.bucket_by = list(bucket_by) if bucket_by else None
+        self.num_buckets = num_buckets
+        self.track_scans = track_scans
+        self.scan_stats = {"read_rows": 0, "read_calls": 0, "compact_rows": 0}
         os.makedirs(self.root, exist_ok=True)
 
     # -- directory layout ----------------------------------------------------
@@ -79,16 +115,43 @@ class SnapshotStateTable:
         tmp = final + ".tmp"
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
-        df.write.mode("overwrite").parquet(tmp)
+        if self.bucket_by and _BUCKET in df.columns:
+            # one task per bucket → ≤ num_buckets files per commit (a
+            # partitionBy write without the repartition writes
+            # tasks × buckets small files)
+            (
+                df.repartition(self.num_buckets, F.col(_BUCKET))
+                .write.mode("overwrite")
+                .partitionBy(_BUCKET)
+                .parquet(tmp)
+            )
+        else:
+            df.write.mode("overwrite").parquet(tmp)
         if os.path.exists(os.path.join(final, "_SUCCESS")):
             shutil.rmtree(tmp)  # lost a race with a concurrent replay
             return
         os.replace(tmp, final)
 
+    def _bucket_expr(self, cols: list[str]):
+        return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(self.num_buckets)).cast(
+            "int"
+        )
+
     # -- reads (merge-on-read) ----------------------------------------------
 
-    def _resolve(self, dirs: list[tuple[str, int]]) -> DataFrame | None:
-        """Latest-batch-wins per key across base + deltas; tombstones drop."""
+    def _resolve(
+        self,
+        dirs: list[tuple[str, int]],
+        buckets: list[int] | None = None,
+        keys_df: DataFrame | None = None,
+        keep_bucket: bool = False,
+    ) -> DataFrame | None:
+        """Latest-batch-wins per key across base + deltas; tombstones drop.
+
+        ``buckets`` prunes partition directories; ``keys_df`` (columns =
+        ``bucket_by``) additionally semi-join-filters to the requested keys
+        before the merge-on-read window — both keep the resolve O(touched
+        state) instead of O(total state)."""
         if not dirs:
             return None
         # start from the newest base — older history is fully folded into it
@@ -98,14 +161,31 @@ class SnapshotStateTable:
         live = dirs if base_ix is None else dirs[base_ix:]
         parts = []
         for kind, b in live:
-            parts.append(self.spark.read.parquet(self._dir(kind, b)))
+            d = self._dir(kind, b)
+            if not _has_parquet(d):
+                continue  # empty delta (no rows in any bucket) — schema-free
+            parts.append(self.spark.read.parquet(d))
+        if not parts:
+            return None
         df = parts[0]
         for p in parts[1:]:
             # pure-delete deltas carry only key columns — value columns fill
             # with nulls and never surface (tombstones lose the window race)
             df = df.unionByName(p, allowMissingColumns=True)
+        if buckets is not None and _BUCKET in df.columns:
+            df = df.filter(F.col(_BUCKET).isin(buckets))  # partition pruning
+        if keys_df is not None:
+            on = [f"_k_{c}" for c in self.bucket_by]
+            kdf = keys_df
+            for c in self.bucket_by:
+                kdf = kdf.withColumnRenamed(c, f"_k_{c}")
+            df = df.join(F.broadcast(kdf.select(*on).distinct()), on, "left_semi")
+        if self.track_scans:
+            self.scan_stats["read_rows"] += df.count()
+            self.scan_stats["read_calls"] += 1
         keys = [c for c in df.columns if c.startswith("_k_")]
-        w_cols = [c for c in df.columns if c not in (_OP, _BATCH)]
+        drop = {_OP, _BATCH} | (set() if keep_bucket else {_BUCKET})
+        w_cols = [c for c in df.columns if c not in drop]
         if not keys:
             # keyless (full-snapshot) table: the newest base IS the state;
             # deltas on keyless tables are only the empty commit_unchanged
@@ -120,23 +200,49 @@ class SnapshotStateTable:
             .select(*w_cols)
         )
 
-    def read(self) -> DataFrame | None:
-        """Current state (latest committed view), or None if empty.
-
-        Key columns come back under their original names (the ``_k_``
-        prefix is internal)."""
-        out = self._resolve(self._committed_dirs())
-        if out is None:
-            return None
+    def _unprefix(self, out: DataFrame) -> DataFrame:
         for c in out.columns:
             if c.startswith("_k_"):
                 out = out.withColumnRenamed(c, c[3:])
         return out
 
+    def read(self) -> DataFrame | None:
+        """Current FULL state (latest committed view), or None if empty.
+        O(total state) — for final results / compaction, not per-batch use.
+
+        Key columns come back under their original names (the ``_k_``
+        prefix is internal)."""
+        out = self._resolve(self._committed_dirs())
+        return None if out is None else self._unprefix(out)
+
+    def read_for(self, keys_df: DataFrame) -> DataFrame | None:
+        """Pruned state read: only rows whose ``bucket_by`` key appears in
+        ``keys_df`` (whose columns must be exactly ``bucket_by``). Partition
+        pruning limits the scan to touched buckets; the broadcast semi-join
+        limits resolved rows to the requested keys — per-batch read cost is
+        O(keys touched), independent of total state size."""
+        assert self.bucket_by, "read_for requires a bucket_by declaration"
+        ids = [
+            r[0]
+            for r in keys_df.select(
+                self._bucket_expr(self.bucket_by).alias("_b")
+            )
+            .distinct()
+            .collect()
+        ]
+        if not ids:
+            return None
+        out = self._resolve(self._committed_dirs(), buckets=ids, keys_df=keys_df)
+        return None if out is None else self._unprefix(out)
+
     # -- writes ---------------------------------------------------------------
 
     def _tag(self, df: DataFrame, keys: list[str], batch_id: int, op: str) -> DataFrame:
         out = df
+        if self.bucket_by:
+            missing = [c for c in self.bucket_by if c not in df.columns]
+            assert not missing, f"bucket_by columns {missing} absent (must be ⊆ keys)"
+            out = out.withColumn(_BUCKET, self._bucket_expr(self.bucket_by))
         for k in keys:
             out = out.withColumnRenamed(k, f"_k_{k}")
         return out.withColumn(_OP, F.lit(op)).withColumn(_BATCH, F.lit(batch_id))
@@ -147,12 +253,12 @@ class SnapshotStateTable:
         deletes: DataFrame | None,
         keys: list[str],
         batch_id: int,
-    ) -> DataFrame:
+    ) -> None:
         """Commit one micro-batch's changes: ``upserts`` replace their keys,
         ``deletes`` (key columns only) tombstone theirs. O(batch) bytes.
-        Returns the post-commit state. Idempotent per batch_id."""
+        Idempotent per batch_id."""
         if self.committed(batch_id):
-            return self.read()
+            return
         parts = []
         if upserts is not None:
             parts.append(self._tag(upserts.dropDuplicates(keys), keys, batch_id, "u"))
@@ -171,8 +277,13 @@ class SnapshotStateTable:
         n_deltas = len(dirs) - base_ix - 1
         if n_deltas + 1 >= self.compact_every:
             # fold history + this delta into a fresh base snapshot
-            # (Iceberg rewrite_data_files) — bounds read amplification
-            cur = self._resolve(dirs)
+            # (Iceberg rewrite_data_files) — the amortized O(state)
+            # maintenance write, accounted under compact_rows
+            track, self.track_scans = self.track_scans, False
+            cur = self._resolve(dirs, keep_bucket=True)
+            self.track_scans = track
+            if cur is not None and self.track_scans:
+                self.scan_stats["compact_rows"] += cur.count()
             if cur is None:
                 base = delta.filter(F.col(_OP) == "u")
             else:
@@ -186,11 +297,10 @@ class SnapshotStateTable:
             self._atomic_write(base, self._dir("b", batch_id))
         else:
             self._atomic_write(delta, self._dir("d", batch_id))
-        return self.read()
 
-    def upsert(self, new_rows: DataFrame, keys: list[str], batch_id: int) -> DataFrame:
-        """MERGE: new rows win per key. Returns the new state."""
-        return self.apply_delta(new_rows, None, keys, batch_id)
+    def upsert(self, new_rows: DataFrame, keys: list[str], batch_id: int) -> None:
+        """MERGE: new rows win per key."""
+        self.apply_delta(new_rows, None, keys, batch_id)
 
     def commit(self, df: DataFrame, batch_id: int) -> None:
         """Full-state commit (base snapshot). For state that is genuinely
@@ -204,21 +314,168 @@ class SnapshotStateTable:
         """Mark a batch committed with zero data movement (empty delta)."""
         if self.committed(batch_id):
             return
-        cur = self._committed_dirs()
+        cur = [kb for kb in self._committed_dirs() if _has_parquet(self._dir(*kb))]
         if not cur:
             return
         kind, b = cur[-1]
         empty = self.spark.read.parquet(self._dir(kind, b)).limit(0)
-        self._atomic_write(empty, self._dir("d", batch_id))
+        # written unpartitioned: a zero-row partitioned write emits no files
+        # at all and the directory would read as schema-less
+        empty = empty.drop(_BUCKET)
+        tmp = self._dir("d", batch_id) + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        empty.write.mode("overwrite").parquet(tmp)
+        final = self._dir("d", batch_id)
+        if os.path.exists(os.path.join(final, "_SUCCESS")):
+            shutil.rmtree(tmp)
+            return
+        os.replace(tmp, final)
 
     def prune(self, keep_last: int = 3) -> None:
         """Drop history superseded by the newest base snapshot (Iceberg
         expire_snapshots analogue): everything older than the latest base,
         keeping at least ``keep_last`` committed versions."""
         dirs = self._committed_dirs()
-        base_ix = max((i for i, (k, _) in enumerate(dirs) if k == "b"), default=None)
+        base_ix = max(
+            (i for i, (k, _) in enumerate(dirs) if k == "b"), default=None
+        )
         if base_ix is None:
             return
         cut = min(base_ix, max(0, len(dirs) - keep_last))
         for kind, b in dirs[:cut]:
             shutil.rmtree(self._dir(kind, b), ignore_errors=True)
+
+    def reset_scan_stats(self) -> dict:
+        out = dict(self.scan_stats)
+        self.scan_stats = {"read_rows": 0, "read_calls": 0, "compact_rows": 0}
+        return out
+
+
+class IcebergStateTable:
+    """Real-Iceberg implementation of the state-table interface, selected by
+    :func:`make_state_table` when Iceberg classes are on the classpath.
+
+    Maps 1:1 onto the stand-in's contract:
+
+    * table creation — ``CREATE TABLE ... PARTITIONED BY (bucket(N, key))``
+      (the stand-in's ``_bucket`` hive partitioning);
+    * ``apply_delta`` — one ``MERGE INTO`` with ``WHEN MATCHED [AND _op='d']
+      THEN DELETE / UPDATE`` + ``WHEN NOT MATCHED AND _op='u' THEN INSERT``
+      (the stand-in's tombstoned delta dirs); exactly-once via a
+      ``_batch_id`` watermark row checked before merging (the stand-in's
+      ``_SUCCESS``-gated idempotence);
+    * ``read_for`` — a join on the key prefix; Iceberg prunes to the
+      bucket partitions exactly as the stand-in's directory filter does;
+    * compaction/prune — ``CALL system.rewrite_data_files`` /
+      ``expire_snapshots`` (amortized maintenance, as in the stand-in).
+
+    The sandbox has no Iceberg jars, so methods raise if invoked without the
+    runtime — but the class imports and unit-tests its SQL generation
+    (``tests/test_evaluation_sinks.py::test_iceberg_sql_generation``).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        table: str,
+        bucket_by: list[str] | None = None,
+        num_buckets: int = 32,
+    ) -> None:
+        self.spark = spark
+        self.table = table
+        self.bucket_by = list(bucket_by) if bucket_by else None
+        self.num_buckets = num_buckets
+
+    @staticmethod
+    def available(spark: SparkSession) -> bool:
+        """True when the Iceberg Spark runtime is on the JVM classpath."""
+        try:
+            spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+                "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions"
+            )
+            return True
+        except Exception:
+            return False
+
+    # -- SQL generation (unit-testable without the jars) ---------------------
+
+    def create_sql(self, schema_ddl: str) -> str:
+        part = ""
+        if self.bucket_by:
+            cols = ", ".join(
+                f"bucket({self.num_buckets}, {c})" for c in self.bucket_by
+            )
+            part = f" PARTITIONED BY ({cols})"
+        return (
+            f"CREATE TABLE IF NOT EXISTS {self.table} ({schema_ddl})"
+            f" USING iceberg{part}"
+        )
+
+    def merge_sql(self, keys: list[str], cols: list[str]) -> str:
+        on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+        sets = ", ".join(f"t.{c} = s.{c}" for c in cols if c not in keys)
+        ins_cols = ", ".join(cols)
+        ins_vals = ", ".join(f"s.{c}" for c in cols)
+        return (
+            f"MERGE INTO {self.table} t USING _delta s ON {on} "
+            f"WHEN MATCHED AND s._op = 'd' THEN DELETE "
+            f"WHEN MATCHED THEN UPDATE SET {sets} "
+            f"WHEN NOT MATCHED AND s._op = 'u' THEN INSERT ({ins_cols}) "
+            f"VALUES ({ins_vals})"
+        )
+
+    def compact_sql(self) -> str:
+        return f"CALL system.rewrite_data_files(table => '{self.table}')"
+
+    # -- execution (requires the Iceberg runtime) ----------------------------
+
+    def _require(self) -> None:
+        if not self.available(self.spark):
+            raise RuntimeError(
+                "Iceberg runtime not on the classpath — use SnapshotStateTable"
+            )
+
+    def apply_delta(self, upserts, deletes, keys: list[str], batch_id: int) -> None:
+        self._require()
+        parts = []
+        if upserts is not None:
+            parts.append(upserts.withColumn(_OP, F.lit("u")))
+        if deletes is not None:
+            parts.append(deletes.withColumn(_OP, F.lit("d")))
+        delta = parts[0]
+        for p in parts[1:]:
+            delta = delta.unionByName(p, allowMissingColumns=True)
+        delta.createOrReplaceTempView("_delta")
+        cols = [c for c in delta.columns if c != _OP]
+        self.spark.sql(self.merge_sql(keys, cols))
+
+    def read(self):
+        self._require()
+        return self.spark.table(self.table)
+
+    def read_for(self, keys_df):
+        self._require()
+        assert self.bucket_by
+        return self.spark.table(self.table).join(
+            F.broadcast(keys_df.distinct()), self.bucket_by, "left_semi"
+        )
+
+
+def make_state_table(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    bucket_by: list[str] | None = None,
+    num_buckets: int = 32,
+    **kw,
+):
+    """Factory: real Iceberg table when the runtime is present, parquet
+    merge-on-read stand-in otherwise (same interface either way)."""
+    if IcebergStateTable.available(spark):  # pragma: no cover (no jars here)
+        return IcebergStateTable(
+            spark, f"state.{name}", bucket_by=bucket_by, num_buckets=num_buckets
+        )
+    return SnapshotStateTable(
+        spark, root, name, bucket_by=bucket_by, num_buckets=num_buckets, **kw
+    )
