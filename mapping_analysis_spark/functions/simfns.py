@@ -190,21 +190,250 @@ def _jaro(s1: str, s2: str) -> float:
     return (m / l1 + m / l2 + (m - t) / m) / 3.0
 
 
+def _pad_codes(strings: list) -> tuple:
+    """(N, maxlen) uint32 code-point matrix + per-string lengths. numpy's
+    fixed-width unicode dtype does the UTF-32 decode and NUL-pads short
+    strings in C — no per-string Python. NUL padding is safe for the
+    matching loops (the window mask already excludes j >= l2, and i >= l1
+    is guarded explicitly); the prefix computation masks padding by length."""
+    lens = np.fromiter((len(s) for s in strings), dtype=np.int64, count=len(strings))
+    width = max(int(lens.max(initial=0)), 1)
+    arr = np.array(strings, dtype=f"<U{width}")
+    return arr.view(np.uint32).reshape(len(strings), width), lens
+
+
+def _jw_finish(A, B, l1, l2, m1, m2) -> np.ndarray:
+    """Shared tail: transpositions + Jaro formula + Winkler boost from the
+    matched-position boolean matrices. Float expression order replicates the
+    scalar ``_jaro`` exactly, so results are bit-identical."""
+    n, L1 = m1.shape
+    L2 = m2.shape[1]
+    m = m1.sum(axis=1)
+    valid = m > 0
+    if valid.any():
+        # transpositions: both np.nonzero streams are row-major and the
+        # per-row match counts are equal, so the two char sequences align
+        # element-wise — compare directly, no gather matrices needed
+        rows1, cols1 = np.nonzero(m1)
+        rows2, cols2 = np.nonzero(m2)
+        diff = (A[rows1, cols1] != B[rows2, cols2]).astype(np.float64)
+        t = np.bincount(rows1, weights=diff, minlength=n) // 2
+        mf = m.astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            j = (mf / l1 + mf / l2 + (mf - t) / mf) / 3.0
+        j = np.where(valid, j, 0.0)
+    else:
+        j = np.zeros(n, dtype=np.float64)
+    # Winkler boost: common prefix (≤4, capped by the shorter string —
+    # NUL padding must not count as a match), applied when jaro > 0.7
+    P = min(4, L1, L2)
+    if P > 0:
+        eq = (A[:, :P] == B[:, :P]) & (
+            np.arange(P)[None, :] < np.minimum(l1, l2)[:, None]
+        )
+        l_pref = np.cumprod(eq, axis=1).sum(axis=1).astype(np.float64)
+    else:
+        l_pref = np.zeros(n, dtype=np.float64)
+    return np.where(j > 0.7, j + l_pref * 0.1 * (1.0 - j), j)
+
+
+_U64_FULL = np.uint64(0xFFFFFFFFFFFFFFFF)
+# _MASK_LUT[k] = lowest k bits set — turns window-mask math into two takes
+_MASK_LUT = np.concatenate(
+    ([np.uint64(0)], _U64_FULL >> (np.uint64(64) - np.arange(1, 65, dtype=np.uint64)))
+)
+
+
+def _word_mask(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    """uint64 mask of bits [lo, hi) per element; lo/hi int in [0, 64]."""
+    return _MASK_LUT[hi] & ~_MASK_LUT[lo]
+
+
+def _jw_batch_bits(sa: list, sb: list) -> np.ndarray:
+    """Bit-parallel Jaro-Winkler, vectorized ACROSS pairs (the hot path for
+    ASCII strings up to ~256 chars — every normalized label).
+
+    Each pair's s2 is indexed as per-character W-word uint64 position masks
+    (``occ2[pair, char, w] = bitmask of js with s2[j]==char``). The greedy
+    matching loop then runs over s1 positions only: the scalar "first
+    unmatched j in the window with an equal char" is exactly the lowest set
+    bit of ``occ2[char] & ~consumed & window_mask`` — a handful of vector
+    ops per character position instead of an O(window) interpreted inner
+    scan. Bit-identical to the scalar ``_jaro`` (same greedy order, same
+    float expression order); non-ASCII rows must be routed elsewhere by the
+    caller (the dense occ2 table is indexed by code point < 128)."""
+    n = len(sa)
+    if n == 0:
+        return np.zeros(0, dtype=np.float64)
+    A, l1 = _pad_codes(sa)
+    B, l2 = _pad_codes(sb)
+    L1, L2 = A.shape[1], B.shape[1]
+    W = (L2 + 63) >> 6
+    ar = np.arange(n)
+    # char-major occurrence masks: occT[char, word, pair]. Same-char rows are
+    # contiguous, so the build scatters and the per-i gathers walk ~40 dense
+    # blocks instead of random lines across an n-major table (measured ~2x)
+    occT = np.zeros((128, W, n), dtype=np.uint64)
+    Ai = A.astype(np.intp)
+    Bi = B.astype(np.intp)
+    for j in range(L2):  # row indices unique per column → safe |= scatter
+        occT[Bi[:, j], j >> 6, ar] |= np.uint64(1) << np.uint64(j & 63)
+    # NUL-padding bits never match (A's padding char is 0 → its occT row is
+    # zero, so i >= l1 positions auto-miss; real NULs are routed to the
+    # masked kernel by the caller)
+    occT[0] = 0
+
+    # window word-masks, maintained INCREMENTALLY: the window [i-win,
+    # i+win+1) gains exactly one bit and loses exactly one bit per step, so
+    # two masked scatters per i replace a full (L1, W, n) mask precompute
+    win = np.maximum(np.maximum(l1, l2) // 2 - 1, 0)
+    wm = np.zeros((W, n), dtype=np.uint64)
+    hi0 = np.minimum(win + 1, l2)  # window at i=0: bits [0, hi0)
+    for w in range(W):
+        wm[w] = _MASK_LUT[np.clip(hi0 - (w << 6), 0, 64)]
+    one = np.uint64(1)
+
+    # the greedy loop: flat 1-D takes (≈10x the 2-D fancy-index gather) and
+    # explicit per-word first-nonzero selection (W ≤ 4)
+    flat = occT.reshape(-1)
+    wn = W * n
+    m2bits = np.zeros((W, n), dtype=np.uint64)
+    m1t = np.zeros((L1, n), dtype=bool)
+    m2 = np.zeros((n, L2), dtype=bool)
+    for i in range(L1):
+        idx0 = Ai[:, i] * wn + ar
+        avail = [
+            flat.take(idx0 + (w * n)) & ~m2bits[w] & wm[w] for w in range(W)
+        ]
+        acc = avail[0]
+        for w in range(1, W):
+            acc = acc | avail[w]
+        matched = acc != 0
+        m1t[i] = matched
+        rowsm = np.flatnonzero(matched)
+        if len(rowsm):
+            a_sel = avail[0][rowsm]
+            fw = np.zeros(len(rowsm), dtype=np.int64)
+            for w in range(1, W):
+                need = a_sel == 0
+                nxt = avail[w][rowsm]
+                fw = np.where(need & (nxt != 0), w, fw)
+                a_sel = np.where(need, nxt, a_sel)
+            jbit = a_sel & (~a_sel + np.uint64(1))  # lowest set bit
+            m2bits[fw, rowsm] |= jbit
+            # jbit is a power of two → float64 log2 is exact
+            jpos = (fw << 6) + np.log2(jbit.astype(np.float64)).astype(np.int64)
+            m2[rowsm, jpos] = True
+        # advance the window for step i+1: add bit i+win+1 (if < l2),
+        # clear bit i-win (if >= 0)
+        add = i + win + 1
+        sel = np.flatnonzero(add < l2)
+        if len(sel):
+            a_p = add[sel]
+            wm[a_p >> 6, sel] |= one << (a_p & 63).astype(np.uint64)
+        rem = i - win
+        # positions >= W*64 were never set (adds are bounded by l2 <= W*64)
+        sel = np.flatnonzero((rem >= 0) & (rem < (W << 6)))
+        if len(sel):
+            r_p = rem[sel]
+            wm[r_p >> 6, sel] &= ~(one << (r_p & 63).astype(np.uint64))
+    return _jw_finish(A, B, l1, l2, np.ascontiguousarray(m1t.T), m2)
+
+
+def _jw_batch_masked(sa: list, sb: list) -> np.ndarray:
+    """Masked-matrix Jaro-Winkler (pairs up to ``_JW_MAXLEN`` chars),
+    vectorized across pairs: the greedy matching advances every pair
+    simultaneously as boolean masks — O(L1·L2) vector ops of O(N) each.
+    Exact; used for long-string buckets where 64-bit masks don't fit."""
+    n = len(sa)
+    res = np.zeros(n, dtype=np.float64)
+    if n == 0:
+        return res
+    A, l1 = _pad_codes(sa)
+    B, l2 = _pad_codes(sb)
+    L1, L2 = A.shape[1], B.shape[1]
+    win = np.maximum(np.maximum(l1, l2) // 2 - 1, 0)
+    m1 = np.zeros((n, L1), dtype=bool)
+    m2 = np.zeros((n, L2), dtype=bool)
+    wmax = int(win.max())
+    for i in range(L1):
+        ai = A[:, i]
+        active = i < l1  # NUL padding on A must never match a real NUL
+        found = np.zeros(n, dtype=bool)
+        lo = i - win
+        hi = np.minimum(l2, i + win + 1)
+        for j in range(max(0, i - wmax), min(L2, i + wmax + 1)):
+            cand = (
+                active & (~found) & (j >= lo) & (j < hi) & (~m2[:, j])
+                & (B[:, j] == ai)
+            )
+            if cand.any():
+                m2[cand, j] = True
+                m1[cand, i] = True
+                found |= cand
+    return _jw_finish(A, B, l1, l2, m1, m2)
+
+
+# pairs longer than this fall back to the scalar path (the O(L1·L2) batch
+# matrices stop paying off; labels are short, so this is a cold path)
+_JW_MAXLEN = 512
+
+
 @F.pandas_udf(DoubleType())
 def jaro_winkler(a: pd.Series, b: pd.Series) -> pd.Series:
     """Jaro-Winkler similarity — the reference's second core string metric
     (simmetrics ``JaroWinkler()`` defaults: boost threshold 0.7, prefix
     scale 0.1, max common prefix 4; ``util/Utils.java:864-867``).
 
-    Matches DuckDB's ``jaro_winkler_similarity`` bit-for-bit (the oracle;
-    verified on 20k random pairs + the corpus label pairs), including its
-    empty-vs-empty = 0.0 convention (simmetrics returns 1.0 there — labels
-    are never empty after normalization, so the divergence is unreachable
-    in the pipelines)."""
-    out = np.zeros(len(a), dtype=np.float64)
-    for i, (x, y) in enumerate(zip(a, b)):
-        if x is None or y is None:
-            continue
+    Vectorized across pairs (``_jw_batch``), length-bucketed so one long
+    outlier doesn't widen every pair's matrices. Matches DuckDB's
+    ``jaro_winkler_similarity`` bit-for-bit (the oracle; verified on 20k
+    random pairs + the corpus label pairs), including its empty-vs-empty =
+    0.0 convention (simmetrics returns 1.0 there — labels are never empty
+    after normalization, so the divergence is unreachable in the
+    pipelines)."""
+    n = len(a)
+    out = np.zeros(n, dtype=np.float64)
+    if n == 0:
+        return pd.Series(out)
+    av = a.to_numpy(dtype=object)
+    bv = b.to_numpy(dtype=object)
+    ok = np.fromiter(
+        (x is not None and y is not None for x, y in zip(av, bv)), dtype=bool, count=n
+    )
+    idx = np.flatnonzero(ok)
+    if len(idx) == 0:
+        return pd.Series(out)
+    maxlen = np.fromiter(
+        (max(len(av[i]), len(bv[i])) for i in idx), dtype=np.int64, count=len(idx)
+    )
+    is_ascii = np.fromiter(
+        (
+            av[i].isascii()
+            and bv[i].isascii()
+            and "\x00" not in av[i]
+            and "\x00" not in bv[i]
+            for i in idx
+        ),
+        dtype=bool,
+        count=len(idx),
+    )
+    # ASCII ≤ 256 chars (every normalized label) → bit-parallel kernel,
+    # length-bucketed and chunked (dense occ2 tables stay ~30 MB);
+    # long or non-ASCII → masked-matrix kernel; > _JW_MAXLEN → scalar
+    fast = idx[is_ascii & (maxlen > 0) & (maxlen <= 256)]
+    # length-sorted chunks: each chunk's matrices are as narrow as its own
+    # longest string, not the batch's
+    fast = fast[np.argsort(maxlen[is_ascii & (maxlen > 0) & (maxlen <= 256)])]
+    for c in range(0, len(fast), 8192):
+        ch = fast[c : c + 8192]
+        out[ch] = _jw_batch_bits([av[i] for i in ch], [bv[i] for i in ch])
+    sel = idx[(~is_ascii & (maxlen <= _JW_MAXLEN)) | ((maxlen > 256) & (maxlen <= _JW_MAXLEN))]
+    for c in range(0, len(sel), 8192):
+        ch = sel[c : c + 8192]
+        out[ch] = _jw_batch_masked([av[i] for i in ch], [bv[i] for i in ch])
+    for i in idx[maxlen > _JW_MAXLEN]:  # cold path: scalar, exact
+        x, y = av[i], bv[i]
         j = _jaro(x, y)
         if j > 0.7:
             l = 0

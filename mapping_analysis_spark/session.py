@@ -19,6 +19,7 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
     aqe: bool = False,
+    master: str | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession tuned for this engine.
 
@@ -38,6 +39,10 @@ def get_spark(
       match the DuckDB correctness oracle (duckdb timestamps are UTC-naive).
     * Arrow enabled: all pandas UDFs ride the Arrow batch path (the engine
       contains no row-at-a-time Python UDFs).
+    * ``master`` override: pass ``local-cluster[W,C,MEM_MB]`` for
+      process-isolated executor JVMs (the scaling bench uses this so an
+      N → 4N step multiplies actual executor processes), or a real
+      ``spark://`` / ``yarn`` master in production.
     """
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
@@ -46,7 +51,7 @@ def get_spark(
 
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(f"local[{cores}]")
+        .master(master or f"local[{cores}]")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(cores))
         .config("spark.sql.session.timeZone", "UTC")

@@ -36,6 +36,12 @@ if REPO not in sys.path:  # worker subprocess launches with scripts/ as path[0]
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf1.0")
 LEVELS = tuple(int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "2,8").split(","))
 N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+# "local" = threads in one JVM (shares one socket's LLC/memory system across
+# all levels); "local-cluster" = one 1-core executor JVM per unit of
+# parallelism — process-isolated memory systems, the honest stand-in for an
+# N → 4N *executor* scale-out (VERDICT r2 item 2).
+MODE = os.environ.get("SPARK_GRAFT_MASTER_MODE", "local")
+WORKER_MEM_MB = int(os.environ.get("SPARK_GRAFT_WORKER_MEM_MB", "4096"))
 
 
 def worker(cores: int) -> None:
@@ -47,7 +53,29 @@ def worker(cores: int) -> None:
     from mapping_analysis_spark.pipeline import conversation_records, dedup_conversations
     from mapping_analysis_spark.session import get_spark
 
-    spark = get_spark(f"scaling-{cores}", cores=cores, shuffle_partitions=cores)
+    master = (
+        f"local-cluster[{cores},1,{WORKER_MEM_MB}]" if MODE == "local-cluster" else None
+    )
+    os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
+    spark = get_spark(
+        f"scaling-{cores}", cores=cores, shuffle_partitions=cores, master=master
+    )
+    if master:
+        # ship the package to the executor JVMs — the programmatic
+        # equivalent of `spark-submit --py-files` (scripts/submit.sh)
+        import zipfile
+
+        zpath = f"/tmp/mapping_analysis_spark_{os.getpid()}.zip"
+        with zipfile.ZipFile(zpath, "w") as z:
+            pkg = os.path.join(REPO, "mapping_analysis_spark")
+            for r, _, fs in os.walk(pkg):
+                if "__pycache__" in r:
+                    continue
+                for f in fs:
+                    if f.endswith(".py"):
+                        p = os.path.join(r, f)
+                        z.write(p, os.path.relpath(p, REPO))
+        spark.sparkContext.addPyFile(zpath)
     spark.sparkContext.setLogLevel("ERROR")
     # the synthetic table is a single parquet file — spread the scan so the
     # first map stage isn't single-core (a real table has many files/splits)
@@ -152,6 +180,7 @@ def orchestrate() -> int:
     ratio = hi / lo
     summary = {
         "sf_dir": SF_DIR,
+        "mode": MODE,
         "levels": [lo, hi],
         "n_turns": n,
         "e2e_throughput_N_turns_per_sec": round(thr_lo, 1),
@@ -171,10 +200,23 @@ def orchestrate() -> int:
 def _write_bench_md(s: dict) -> None:
     lo, hi = s["levels"]
     rlo, rhi = s["raw"][lo], s["raw"][hi]
+    if s.get("mode") == "local-cluster":
+        setup = (
+            f"local-cluster[{lo},1,4g] = N vs local-cluster[{hi},1,4g] = 4N — "
+            f"**one 1-core executor JVM per unit of parallelism**, "
+            f"process-isolated memory systems; the package ships to executors "
+            f"via addPyFile (the `spark-submit --py-files` path)"
+        )
+        lvl = lambda c: f"local-cluster[{c},1,4g]"  # noqa: E731
+    else:
+        setup = (
+            f"local[{lo}] = N vs local[{hi}] = 4N — threads in one JVM, the "
+            f"sandbox stand-in for N vs 4N executors per BASELINE.md"
+        )
+        lvl = lambda c: f"local[{c}]"  # noqa: E731
     md = f"""# BENCH — measured throughput + scaling efficiency
 
-Same jobs at two parallelism levels (local[{lo}] = N vs local[{hi}] = 4N —
-the sandbox stand-in for N vs 4N executors per BASELINE.md), fresh JVM per
+Same jobs at two parallelism levels ({setup}), fresh JVM per
 level. Input: synthetic transcripts at `{s["sf_dir"]}` ({s["n_turns"]}
 turns). **Median of {len(rlo["e2e_runs_s"]) - 1} measured runs after one JIT
 warm-up run per level** (single runs vary ±15% on this shared host).
@@ -183,8 +225,8 @@ warm-up run per level** (single runs vary ±15% on this shared host).
 
 | parallelism | runs (s) | median (s) | throughput (turns/s) |
 |---|---|---|---|
-| local[{lo}]  (N)  | {rlo["e2e_runs_s"][1:]} | {rlo["e2e_median_s"]} | {s["e2e_throughput_N_turns_per_sec"]} |
-| local[{hi}] (4N) | {rhi["e2e_runs_s"][1:]} | {rhi["e2e_median_s"]} | {s["e2e_throughput_4N_turns_per_sec"]} |
+| {lvl(lo)}  (N)  | {rlo["e2e_runs_s"][1:]} | {rlo["e2e_median_s"]} | {s["e2e_throughput_N_turns_per_sec"]} |
+| {lvl(hi)} (4N) | {rhi["e2e_runs_s"][1:]} | {rhi["e2e_median_s"]} | {s["e2e_throughput_4N_turns_per_sec"]} |
 
 **End-to-end scaling efficiency (speedup/{hi // lo}): {s["e2e_scaling_efficiency_N_to_4N"]}.**
 
@@ -214,8 +256,8 @@ Python):
 
 | parallelism | scoring (s) | pairs/s |
 |---|---|---|
-| local[{lo}]  (N)  | {rlo["score_s"]}  | {s["scoring_pairs_per_sec_N"]} |
-| local[{hi}] (4N) | {rhi["score_s"]} | {s["scoring_pairs_per_sec_4N"]} |
+| {lvl(lo)}  (N)  | {rlo["score_s"]}  | {s["scoring_pairs_per_sec_N"]} |
+| {lvl(hi)} (4N) | {rhi["score_s"]} | {s["scoring_pairs_per_sec_4N"]} |
 
 **Scoring scaling efficiency: {s["scoring_scaling_efficiency_N_to_4N"]}** (target ≥ 0.8, BASELINE.json).
 
