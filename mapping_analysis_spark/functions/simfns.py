@@ -518,26 +518,49 @@ def _min_perm(x: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 def make_simhash_udf(seed: int = 42):
-    """64-bit SimHash fingerprint over a token array column."""
+    """64-bit SimHash fingerprint over PRE-HASHED tokens (``array<long>``).
+
+    Tokens are hashed JVM-side (``F.xxhash64`` — see
+    ``operators/dedup.simhash_dedup``) so the Arrow batch carries int64
+    arrays, not strings, and the whole batch is fingerprinted in 64
+    vectorized passes: remix hashes (splitmix64 finalizer, seed-dependent),
+    then per bit position one segmented popcount (``np.add.reduceat`` over
+    document boundaries) decides the majority vote. No per-token Python.
+    A bit is set iff more than half the tokens have it set — identical
+    voting rule to the classic per-token formulation."""
+    s0 = np.uint64((seed * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
+    c1 = np.uint64(0xBF58476D1CE4E5B9)
+    c2 = np.uint64(0x94D049BB133111EB)
+    one = np.uint64(1)
 
     @F.pandas_udf(LongType())
-    def simhash64(tokens: pd.Series) -> pd.Series:
-        out = np.zeros(len(tokens), dtype=np.int64)
-        for i, toks in enumerate(tokens):
-            if toks is None or len(toks) == 0:
-                out[i] = 0
-                continue
-            votes = np.zeros(64, dtype=np.int64)
-            shifts = np.arange(64, dtype=np.uint64)
-            for t in toks:
-                bs = t.encode("utf-8")
-                h = np.uint64((zlib.crc32(bs) << 32) | zlib.crc32(bs + b"#"))
-                bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
-                votes += 2 * bits - 1
-            fp = 0
-            for bit in np.nonzero(votes > 0)[0]:
-                fp |= 1 << int(bit)
-            out[i] = fp - _MAX_I64 if fp >= _MAX_I64 else fp
-        return pd.Series(out)
+    def simhash64(hashes: pd.Series) -> pd.Series:
+        n = len(hashes)
+        out = np.zeros(n, dtype=np.uint64)
+        if n == 0:
+            return pd.Series(out.view(np.int64))
+        lens = np.fromiter(
+            (0 if h is None else len(h) for h in hashes), dtype=np.int64, count=n
+        )
+        nz = np.flatnonzero(lens > 0)
+        if len(nz) == 0:
+            return pd.Series(out.view(np.int64))
+        with np.errstate(over="ignore"):
+            flat = np.concatenate(
+                [np.asarray(hashes.iloc[i], dtype=np.int64) for i in nz]
+            ).view(np.uint64)
+            # splitmix64 finalizer, seeded — decorrelates fingerprint families
+            h = flat ^ s0
+            h = (h ^ (h >> np.uint64(30))) * c1
+            h = (h ^ (h >> np.uint64(27))) * c2
+            h = h ^ (h >> np.uint64(31))
+            seg = np.concatenate(([0], np.cumsum(lens[nz])[:-1]))
+            lnz = lens[nz]
+            fp = np.zeros(len(nz), dtype=np.uint64)
+            for b in range(64):
+                ones = np.add.reduceat((h >> np.uint64(b)) & one, seg)
+                fp |= (2 * ones > lnz).astype(np.uint64) << np.uint64(b)
+        out[nz] = fp
+        return pd.Series(out.view(np.int64))
 
     return simhash64

@@ -128,52 +128,6 @@ def connected_components(
     return spark.createDataFrame(out, schema=out_schema)
 
 
-def _label_propagation_cc(
-    edges: DataFrame,
-    src: str = "a",
-    dst: str = "b",
-    max_iter: int = 50,
-) -> DataFrame:
-    """Distributed min-id label propagation to fixpoint (the Gelly
-    GSAConnectedComponents analogue)."""
-    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
-        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
-    )
-    sym = sym.dropDuplicates(["u", "v"]).localCheckpoint(eager=True)
-    labels = (
-        sym.select(F.col("u").alias("node"))
-        .distinct()
-        .withColumn("comp", F.col("node"))
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(max_iter):
-        msgs = (
-            sym.join(labels, sym.u == labels.node)
-            .select(F.col("v").alias("node"), F.col("comp"))
-            .groupBy("node")
-            .agg(F.min("comp").alias("msg"))
-        )
-        new_labels = (
-            labels.join(msgs, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("comp"), F.coalesce(F.col("msg"), F.col("comp"))).alias("comp"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels
-
-
 def _edge_sig(df: DataFrame) -> tuple:
     """Order-independent multiset signature of an edge frame (u, v):
     (count, sum of row hashes). For deduplicated frames equal signatures ⟺

@@ -110,7 +110,15 @@ def type_group_by(
 ) -> DataFrame:
     """Vertices with a NULL component adopt the neighbor component with the
     highest edge sim (ties → min component id). Returns vertices with
-    ``comp`` filled where a scored neighbor exists."""
+    ``comp`` filled where a scored neighbor exists.
+
+    Untyped-only groups (``TypeGroupBy.java:47-74``,
+    ``TypeGroupByTest.java`` "all no_type -> same hash"): a connected group
+    of vertices that are ALL component-less — none has a typed neighbor to
+    adopt from — still collapses to ONE shared component. The reference
+    labels it with a run-varying hash (its test only asserts the members
+    agree); here the label is the deterministic min member id. Isolated
+    component-less vertices keep NULL (no group to join)."""
     sym = scored_edges.select(
         F.col("a").alias(id_col), F.col("b").alias("nbr"), F.col(sim_col)
     ).union(
@@ -126,10 +134,26 @@ def type_group_by(
         .filter(F.col("_rn") == 1)
         .select(id_col, F.col("nbr_comp").alias("_adopt"))
     )
-    return (
+    out = (
         vertices.join(best, id_col, "left")
         .withColumn(comp_col, F.coalesce(F.col(comp_col), F.col("_adopt")))
         .drop("_adopt")
+    )
+    # all-untyped groups: components over edges whose BOTH endpoints are
+    # still component-less after adoption
+    nullv = out.filter(F.col(comp_col).isNull()).select(id_col)
+    e_nn = (
+        scored_edges.select("a", "b")
+        .join(nullv.withColumnRenamed(id_col, "a"), "a", "left_semi")
+        .join(nullv.withColumnRenamed(id_col, "b"), "b", "left_semi")
+    )
+    grp = connected_components(e_nn).withColumnRenamed("node", id_col).withColumnRenamed(
+        "comp", "_g"
+    )
+    return (
+        out.join(grp, id_col, "left")
+        .withColumn(comp_col, F.coalesce(F.col(comp_col), F.col("_g")))
+        .drop("_g")
     )
 
 

@@ -82,9 +82,12 @@ def simhash_dedup(
     chunks — by pigeonhole, any pair within ``n_bands - 1`` bit flips shares
     at least one chunk → candidate; verified by exact Hamming distance.
     """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
     sh = df.select(
         F.col(id_col).alias("rid"),
-        make_simhash_udf()(F.split(F.col(text_col), " ")).alias("fp"),
+        # tokens hashed JVM-side: the Arrow batch ships int64 arrays and the
+        # Python kernel is one vectorized bit-vote pass per batch
+        make_simhash_udf()(F.transform(toks, lambda t: F.xxhash64(t))).alias("fp"),
     )
     width = 64 // n_bands
     mask = (1 << width) - 1

@@ -225,22 +225,27 @@ def remove_every_nth_edge(edges: DataFrame, n: int) -> DataFrame:
 
 def fabricate_edges(vertices: DataFrame, n: int, id_col: str = "rid", seed: int = 42) -> DataFrame:
     """Corruption twin: fabricate n pseudo-random (but seeded-deterministic)
-    edges between existing vertices (``EdgeCreateCorruptionFunction``)."""
-    ids = vertices.select(F.col(id_col).alias("v")).withColumn(
-        "_r", F.row_number().over(Window.orderBy("v"))
-    )
-    total = ids.count()
-    picks = [
-        ((seed + 31 * i) % total + 1, (seed * 7 + 17 * i) % total + 1) for i in range(n)
+    edges between existing vertices (``EdgeCreateCorruptionFunction``).
+
+    Vertex selection is a distributed hash-ordered top-k
+    (TakeOrderedAndProject — per-partition top-k then a 2n-row driver merge),
+    NOT a global row_number window: an unpartitioned window is a single-task
+    total sort, quadratic death at 10^12 vertices."""
+    picked = [
+        r[0]
+        for r in vertices.select(F.col(id_col).alias("v"))
+        .orderBy(F.xxhash64("v", F.lit(seed)), "v")
+        .limit(2 * n)
+        .collect()
     ]
-    pairs = ids.sparkSession.createDataFrame(
-        [(a, b) for a, b in picks if a != b], ["_ra", "_rb"]
-    )
-    return (
-        pairs.join(ids.withColumnRenamed("_r", "_ra").withColumnRenamed("v", "a"), "_ra")
-        .join(ids.withColumnRenamed("_r", "_rb").withColumnRenamed("v", "b"), "_rb")
-        .select("a", "b")
-    )
+    if len(picked) < 2:
+        return vertices.sparkSession.createDataFrame([], "a string, b string")
+    pairs = [
+        (picked[(2 * i) % len(picked)], picked[(2 * i + 1) % len(picked)])
+        for i in range(n)
+    ]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    return vertices.sparkSession.createDataFrame(pairs, ["a", "b"]).dropDuplicates()
 
 
 def representative_edges(

@@ -71,3 +71,38 @@ def test_dedup_conversations_covers_all(spark, transcripts_smoke):
     n_convs = transcripts_smoke.select("conv_id").distinct().count()
     assert out.count() == n_convs
     assert out.filter(F.col("cluster_size") < 1).count() == 0
+
+
+def test_distributed_cc_parity_at_scale(spark):
+    """VERDICT r2 item 10: pin the 100 TB default CC path (large-star /
+    small-star, forced via driver_threshold=0) against the driver union-find
+    oracle on the FULL sf0.1 match-edge set — the realistic-size parity the
+    small fixtures can't give."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from mapping_analysis_spark.data.transcripts import ensure_transcripts
+    from mapping_analysis_spark.operators.clustering import connected_components
+    from mapping_analysis_spark.pipeline import (
+        conversation_records,
+        featurize_records,
+        match_edges,
+    )
+
+    t = spark.read.parquet(ensure_transcripts("/root/testdata/sf0.1"))
+    rec = featurize_records(conversation_records(t))
+    edges = match_edges(rec).localCheckpoint(eager=True)
+    n_edges = edges.count()
+    assert n_edges > 20_000  # realistic size (sf0.1 corpus edge set)
+
+    t0 = time.time()
+    dist = connected_components(edges, driver_threshold=0)
+    got = {(r["node"], r["comp"]) for r in dist.collect()}
+    t_dist = time.time() - t0
+    drv = connected_components(edges, driver_threshold=1 << 40)
+    want = {(r["node"], r["comp"]) for r in drv.collect()}
+    assert got == want, (
+        f"{len(got ^ want)} assignment diffs between distributed and driver CC"
+    )
+    print(f"\n# distributed CC on {n_edges} edges: {t_dist:.1f}s, parity exact")

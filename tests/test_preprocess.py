@@ -206,3 +206,24 @@ def test_music_csv_source(spark, tmp_path):
     assert got[3]["length"] == 150 and got[3]["year"] == 2009 and got[3]["language"] == "ge"
     assert got[4]["length"] == 432 and got[4]["year"] is None and got[4]["language"] == "sp"
     assert got[2]["artist_title_album"] == "Artist B Title B"
+
+
+def test_type_group_by_untyped_only_group(spark):
+    """Reference TypeGroupByTest 'all no_type -> same hash': a connected
+    group of component-less vertices (no typed neighbor anywhere) collapses
+    to ONE shared component; isolated component-less vertices stay NULL
+    (``TypeGroupBy.java:47-74``)."""
+    vertices = spark.createDataFrame(
+        [("u", None), ("a", "cA"), ("n1", None), ("n2", None), ("n3", None),
+         ("iso", None)],
+        ["rid", "comp"],
+    )
+    edges = spark.createDataFrame(
+        [("u", "a", 0.9),          # u adopts cA (typed neighbor wins)
+         ("n1", "n2", 0.8), ("n2", "n3", 0.7)],  # all-untyped chain
+        ["a", "b", "sim"],
+    )
+    got = {r["rid"]: r["comp"] for r in type_group_by(vertices, edges).collect()}
+    assert got["u"] == "cA"
+    assert got["n1"] == got["n2"] == got["n3"] == "n1"  # min member id
+    assert got["iso"] is None
