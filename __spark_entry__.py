@@ -1195,6 +1195,212 @@ FROM valid GROUP BY bk
 """
 
 
+_CAND_THRESHOLD_E6 = 400_000  # corpus-measured (operator default stays 0.7)
+_CAND_BLOCK_CAP = 64
+
+
+def q_conv_candidate_creator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packaged incremental CandidateCreator chain
+    (``model/functions/CandidateCreator.java:90-275``; test anchor
+    ``IncrementalClusteringTest.java:49-98``): live clusters (blocked dedup
+    assignment) → representative payload → prefix blocking
+    (``Utils.getBlockingKey`` on the representative label) →
+    MergeGeoSimilarity (null-aware mean of trigram label sim e6 and
+    haversine geo sim e4×100) → MERGE threshold → uncovered-cluster
+    recovery as self-triplets → CC block ids → per-block Hungarian.
+
+    Output: one row per block with the assignment's optimal total similarity
+    ×2 (doubled so the half-integer means stay exact integers — no
+    engine-dependent rounding); recovered clusters emit (own id, 0). Blocks
+    with > 12 scored triplets are excluded on BOTH sides (the DuckDB oracle
+    brute-forces 2^k subsets). Threshold 0.4 instead of the reference's 0.7
+    default is corpus-measured (the synthetic labels' similarity
+    distribution sits lower than GeoNames') — a documented parameter, not a
+    semantic change."""
+    from mapping_analysis_spark.functions.attr_sims import geo_similarity, sim_e4
+    from mapping_analysis_spark.functions.text import blocking_key
+    from mapping_analysis_spark.operators.candidates import candidate_creator
+
+    assign = q_conv_dedup_blocked(spark, sf_dir).select("conv_id", "cluster_id")
+    clusters = assign.select(F.col("cluster_id").alias("cid")).distinct()
+    rec = conversation_records(_t(spark, sf_dir)).select("rid", "label")
+    attrs = _attr_records(spark, sf_dir).select("rid", "lat", "lon")
+    reps = (
+        clusters.join(rec.withColumnRenamed("rid", "cid"), "cid")
+        .join(attrs.withColumnRenamed("rid", "cid"), "cid")
+        .withColumn("cbk", blocking_key(F.col("label"), 4))
+    )
+    ok = (
+        reps.groupBy("cbk").count()
+        .filter(F.col("count") <= _CAND_BLOCK_CAP)
+        .select("cbk")
+    )
+    r2 = reps.join(F.broadcast(ok), "cbk", "left_semi")
+    cols = ("cid", "label", "lat", "lon")
+    a = r2.select("cbk", *[F.col(c).alias(f"a_{c}") for c in cols])
+    b = r2.select("cbk", *[F.col(c).alias(f"b_{c}") for c in cols])
+    pr = a.join(b, "cbk").filter(F.col("a_cid") < F.col("b_cid"))
+    l = sim_e6(trigram_cosine(F.col("a_label"), F.col("b_label")))
+    g = sim_e4(
+        geo_similarity(F.col("a_lat"), F.col("a_lon"), F.col("b_lat"), F.col("b_lon"))
+    )
+    scored = pr.select(
+        "a_cid",
+        "b_cid",
+        F.when(g.isNull(), l.cast("double")).otherwise((l + g * 100) / 2.0).alias("sim"),
+    ).localCheckpoint(eager=True)
+    out = candidate_creator(scored, clusters, threshold=float(_CAND_THRESHOLD_E6))
+
+    # oracle-tractability restriction (both engines): only blocks with <= 12
+    # scored triplets are emitted; self-triplet blocks always qualify
+    t = scored.filter(F.col("sim") >= _CAND_THRESHOLD_E6).dropDuplicates(
+        ["a_cid", "b_cid"]
+    )
+    comp = connected_components(
+        t.select(F.col("a_cid").alias("a"), F.col("b_cid").alias("b"))
+    )
+    small = (
+        t.join(
+            comp.select(F.col("node").alias("a_cid"), F.col("comp").alias("block")),
+            "a_cid",
+        )
+        .groupBy("block")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") <= _HUNGARIAN_MAX_EDGES)
+        .select("block")
+    )
+    cross = out.filter(F.col("a_cid") != F.col("b_cid")).join(
+        F.broadcast(small), "block", "left_semi"
+    )
+    final = cross.unionByName(out.filter(F.col("a_cid") == F.col("b_cid")))
+    return final.groupBy(F.col("block").alias("block_key")).agg(
+        (F.sum("sim") * 2).cast("long").alias("total_sim_x2_e6")
+    )
+
+
+def _sql_conv_candidate_creator() -> str:
+    return f"""
+WITH RECURSIVE {_BLOCKED_PAIRS_SQL},
+{_ATTRS_SQL},
+ccm_edges AS MATERIALIZED (
+  SELECT a_rid AS a, b_rid AS b FROM jac WHERE sim >= {DEFAULT_THRESHOLD}
+),
+ccm_sym AS MATERIALIZED (SELECT a AS u, b AS v FROM ccm_edges UNION SELECT b, a FROM ccm_edges),
+ccm_reach AS (
+  SELECT u, v FROM ccm_sym
+  UNION
+  SELECT r.u, s.v FROM ccm_reach r JOIN ccm_sym s ON r.v = s.u
+),
+ccm_comp AS (SELECT u AS node, least(min(v), u) AS cluster_id FROM ccm_reach GROUP BY u),
+cl AS MATERIALIZED (
+  SELECT DISTINCT coalesce(ccm_comp.cluster_id, rid) AS cid
+  FROM rec LEFT JOIN ccm_comp ON rec.rid = ccm_comp.node
+),
+creps AS MATERIALIZED (
+  SELECT cl.cid, r.label, att.lat, att.lon, {sqlgen.blocking_key_sql('r.label')} AS cbk
+  FROM cl JOIN rec r ON r.rid = cl.cid JOIN attrs att ON att.rid = cl.cid
+),
+cbsz AS (SELECT cbk, count(*) AS n FROM creps GROUP BY cbk),
+creps2 AS (SELECT creps.* FROM creps JOIN cbsz USING (cbk) WHERE n <= {_CAND_BLOCK_CAP}),
+cp AS MATERIALIZED (
+  SELECT a.cid AS a_cid, b.cid AS b_cid, a.label AS a_label, b.label AS b_label,
+         a.lat AS a_lat, a.lon AS a_lon, b.lat AS b_lat, b.lon AS b_lon
+  FROM creps2 a JOIN creps2 b ON a.cbk = b.cbk AND a.cid < b.cid
+),
+ctg AS (
+  SELECT a_cid, b_cid,
+         {sqlgen.trigrams_sql('a_label')} AS ga,
+         {sqlgen.trigrams_sql('b_label')} AS gb
+  FROM cp
+),
+cga AS (
+  SELECT a_cid, b_cid, t, count(*) AS c
+  FROM (SELECT a_cid, b_cid, unnest(ga) AS t FROM ctg) GROUP BY a_cid, b_cid, t
+),
+cgb AS (
+  SELECT a_cid, b_cid, t, count(*) AS c
+  FROM (SELECT a_cid, b_cid, unnest(gb) AS t FROM ctg) GROUP BY a_cid, b_cid, t
+),
+cdots AS (
+  SELECT cga.a_cid, cga.b_cid, sum(cga.c * cgb.c) AS dot
+  FROM cga JOIN cgb ON cga.a_cid = cgb.a_cid AND cga.b_cid = cgb.b_cid AND cga.t = cgb.t
+  GROUP BY cga.a_cid, cga.b_cid
+),
+cna AS (SELECT a_cid, b_cid, sum(c*c) AS n FROM cga GROUP BY a_cid, b_cid),
+cnb AS (SELECT a_cid, b_cid, sum(c*c) AS n FROM cgb GROUP BY a_cid, b_cid),
+clab AS (
+  SELECT ctg.a_cid, ctg.b_cid,
+    {sqlgen.sim_e6_sql('coalesce(CAST(cdots.dot AS DOUBLE) / sqrt(CAST(cna.n AS DOUBLE) * CAST(cnb.n AS DOUBLE)), 0.0)')} AS l
+  FROM ctg
+  JOIN cna ON ctg.a_cid = cna.a_cid AND ctg.b_cid = cna.b_cid
+  JOIN cnb ON ctg.a_cid = cnb.a_cid AND ctg.b_cid = cnb.b_cid
+  LEFT JOIN cdots ON ctg.a_cid = cdots.a_cid AND ctg.b_cid = cdots.b_cid
+),
+cgeo AS (
+  SELECT a_cid, b_cid,
+    CAST(floor(gsim * 10000.0 + 0.5) AS BIGINT) AS g
+  FROM (
+    SELECT a_cid, b_cid,
+      CASE WHEN abs(a_lat) <= 90 AND abs(a_lon) <= 180
+            AND abs(b_lat) <= 90 AND abs(b_lon) <= 180
+      THEN (CASE WHEN d >= 150000.0 THEN 0.0 ELSE 1.0 - d / 150000.0 END)
+      END AS gsim
+    FROM (
+      SELECT *,
+        6371.0 * (2 * atan2(
+          sqrt(pow(sin(radians(b_lat - a_lat) / 2), 2)
+               + cos(radians(a_lat)) * cos(radians(b_lat))
+               * pow(sin(radians(b_lon - a_lon) / 2), 2)),
+          sqrt(1 - (pow(sin(radians(b_lat - a_lat) / 2), 2)
+               + cos(radians(a_lat)) * cos(radians(b_lat))
+               * pow(sin(radians(b_lon - a_lon) / 2), 2))))) * 1000.0 AS d
+      FROM cp
+    )
+  )
+),
+cscored AS MATERIALIZED (
+  SELECT clab.a_cid, clab.b_cid,
+         CASE WHEN cgeo.g IS NULL THEN CAST(clab.l AS DOUBLE)
+              ELSE (clab.l + cgeo.g * 100) / 2.0 END AS sim
+  FROM clab JOIN cgeo ON clab.a_cid = cgeo.a_cid AND clab.b_cid = cgeo.b_cid
+),
+ctrip AS MATERIALIZED (SELECT * FROM cscored WHERE sim >= {_CAND_THRESHOLD_E6}),
+ccov AS (SELECT a_cid AS cid FROM ctrip UNION SELECT b_cid FROM ctrip),
+cself AS (SELECT cid FROM cl WHERE cid NOT IN (SELECT cid FROM ccov)),
+ctsym AS MATERIALIZED (
+  SELECT a_cid AS u, b_cid AS v FROM ctrip UNION SELECT b_cid, a_cid FROM ctrip
+),
+ctreach AS (
+  SELECT u, v FROM ctsym
+  UNION
+  SELECT r.u, s.v FROM ctreach r JOIN ctsym s ON r.v = s.u
+),
+ctblk AS (SELECT u AS node, least(min(v), u) AS block FROM ctreach GROUP BY u),
+cte2 AS MATERIALIZED (
+  SELECT tb.block, ct.a_cid, ct.b_cid, ct.sim,
+         row_number() OVER (PARTITION BY tb.block ORDER BY ct.a_cid, ct.b_cid) - 1 AS idx,
+         count(*) OVER (PARTITION BY tb.block) AS n_edges
+  FROM ctrip ct JOIN ctblk tb ON ct.a_cid = tb.node
+),
+ctsmall AS (SELECT * FROM cte2 WHERE n_edges <= {_HUNGARIAN_MAX_EDGES}),
+ctblocks AS (SELECT block, max(n_edges) AS n FROM ctsmall GROUP BY block),
+ctmasks AS (SELECT block, unnest(range(0, 1 << n)) AS m FROM ctblocks),
+ctsel AS (
+  SELECT s.block, m.m, s.a_cid, s.b_cid, s.sim
+  FROM ctsmall s JOIN ctmasks m ON s.block = m.block AND ((m.m >> s.idx) & 1) = 1
+),
+ctvalid AS (
+  SELECT block, m, sum(sim) AS total
+  FROM ctsel GROUP BY block, m
+  HAVING count(DISTINCT a_cid) = count(*) AND count(DISTINCT b_cid) = count(*)
+)
+SELECT block AS block_key, CAST(max(total) * 2 AS BIGINT) AS total_sim_x2_e6
+FROM ctvalid GROUP BY block
+UNION ALL
+SELECT cid AS block_key, 0 AS total_sim_x2_e6 FROM cself
+"""
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs >= 0.9 over a corpus with planted
     near-duplicates (``data/embeddings.ensure_neardup_embeddings`` — the
@@ -1729,6 +1935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_pair_jarowinkler": q_conv_pair_jarowinkler,
         "conv_type_overlap_cc": q_conv_type_overlap_cc,
         "conv_decomposition": q_conv_decomposition,
+        "conv_candidate_creator": q_conv_candidate_creator,
     }
 
 
@@ -1772,4 +1979,5 @@ def oracle_sql() -> dict[str, str]:
         "conv_pair_jarowinkler": SQL_CONV_PAIR_JAROWINKLER,
         "conv_type_overlap_cc": SQL_CONV_TYPE_OVERLAP_CC,
         "conv_decomposition": _sql_conv_decomposition(),
+        "conv_candidate_creator": _sql_conv_candidate_creator(),
     }

@@ -1,0 +1,93 @@
+"""Incremental CandidateCreator composition.
+
+Reference: ``model/functions/CandidateCreator.java:90-275`` — the one
+operator round 2 left unpackaged (every stage existed and was individually
+oracled, but not the reference's exact chain). Stages, re-expressed
+declaratively:
+
+1. blocking (LSH or standard prefix — supplied by the caller as scored
+   cluster-pair triplets, mirroring ``LshCandidateCreator`` /
+   ``MergeGeoTupleCreator`` + ``MergeGeoSimilarity``);
+2. MERGE-strategy similarity threshold (default 0.7,
+   ``SimilarityComputation...setThreshold(0.7)``) — below-threshold
+   triplets die;
+3. **recovery**: clusters not covered by any surviving triplet re-enter as
+   self-triplets ``(c, c, 0.0)`` (``CandidateCreator.java:190-232`` —
+   element-uncovered ⟺ owner cluster absent from every triplet, since a
+   cluster in a triplet covers all its elements);
+4. union + distinct on (src, trg);
+5. connected components over the triplet endpoints assign the blocking
+   label (the reference attaches the Gelly ccId; here the deterministic
+   min cluster id — ``ConnectedComponentIdAdder`` semantics);
+6. per-block Hungarian optimal 1:1 assignment
+   (``HungarianAlgorithmGeoReduceFunction``); self-triplets pass through
+   as unmatched singletons.
+
+Test anchor: ``IncrementalClusteringTest.java:49-98`` (GeoNames increment —
+blocking, recovery and per-block assignment exercised in one chain);
+re-expressed on the synthetic corpus by ``tests/test_operators.py`` and the
+``conv_candidate_creator`` contract query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mapping_analysis_spark.operators.clustering import connected_components
+from mapping_analysis_spark.operators.matching import hungarian_matches
+
+DEFAULT_MERGE_THRESHOLD = 0.7
+
+
+def candidate_creator(
+    scored: DataFrame,
+    clusters: DataFrame,
+    threshold: float = DEFAULT_MERGE_THRESHOLD,
+    a_col: str = "a_cid",
+    b_col: str = "b_cid",
+    sim_col: str = "sim",
+    cid_col: str = "cid",
+) -> DataFrame:
+    """Run stages 2-6 of the reference chain over pre-scored cluster pairs.
+
+    ``scored``: (a_col, b_col, sim_col) cross-cluster candidates from any
+    blocking strategy, already scored (e.g. MergeGeoSimilarity = null-aware
+    mean of label trigram-cosine and haversine geo sim).
+    ``clusters``: one row per live cluster (``cid_col``) — the recovery
+    universe.
+
+    Returns (block, a_col, b_col, sim_col): the per-block optimal
+    assignment's matched pairs plus one self-row (a == b, sim 0.0) for every
+    recovered (uncovered) cluster, its own id as block.
+    """
+    t = (
+        scored.filter(F.col(sim_col) >= F.lit(threshold))
+        .select(a_col, b_col, sim_col)
+        .dropDuplicates([a_col, b_col])
+        .localCheckpoint(eager=True)
+    )
+    covered = (
+        t.select(F.col(a_col).alias(cid_col))
+        .union(t.select(F.col(b_col).alias(cid_col)))
+        .distinct()
+    )
+    recovered = clusters.select(cid_col).distinct().join(covered, cid_col, "left_anti")
+    selfs = recovered.select(
+        F.col(cid_col).alias("block"),
+        F.col(cid_col).alias(a_col),
+        F.col(cid_col).alias(b_col),
+        F.lit(0.0).alias(sim_col),
+    )
+    comp = connected_components(t.select(F.col(a_col).alias("a"), F.col(b_col).alias("b")))
+    blocked = t.join(
+        comp.select(F.col("node").alias(a_col), F.col("comp").alias("block")), a_col
+    )
+    matched = hungarian_matches(
+        blocked.select("block", a_col, b_col, sim_col),
+        block_col="block",
+        a_col=a_col,
+        b_col=b_col,
+        sim_col=sim_col,
+    )
+    return matched.select("block", a_col, b_col, sim_col).unionByName(selfs)

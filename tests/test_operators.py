@@ -181,3 +181,66 @@ def test_top_rank_per_group(spark):
     )
     got = {(r["g"], r["v"]) for r in top_rank_per_group(df, ["g"], [F.col("n").desc()]).collect()}
     assert got == {("g1", "y"), ("g2", "z")}
+
+
+def test_candidate_creator_chain(spark):
+    """CandidateCreator stages 2-6 (``CandidateCreator.java:90-275``):
+    threshold, uncovered-cluster recovery as self-triplets, CC block ids,
+    per-block optimal assignment."""
+    from pyspark.sql import functions as F
+
+    from mapping_analysis_spark.operators.candidates import candidate_creator
+
+    clusters = spark.createDataFrame([(c,) for c in "ABCDEXY"], ["cid"])
+    scored = spark.createDataFrame(
+        [("A", "B", 0.9), ("A", "C", 0.8), ("X", "Y", 0.2)],
+        ["a_cid", "b_cid", "sim"],
+    )
+    out = candidate_creator(scored, clusters, threshold=0.7)
+    rows = {(r["block"], r["a_cid"], r["b_cid"], r["sim"]) for r in out.collect()}
+    # block A: A can match only one of B/C → optimal picks the 0.9 edge
+    assert ("A", "A", "B", 0.9) in rows
+    assert not any(a == "A" and b == "C" for _, a, b, _ in rows)
+    # X-Y fell below threshold → X, Y recovered alongside D, E
+    selfs = {a for _, a, b, _ in rows if a == b}
+    assert selfs == {"D", "E", "X", "Y"}
+    assert len(rows) == 5
+
+
+def test_candidate_creator_lsh_branch(spark):
+    """The reference's LSH branch: LshCandidateCreator candidates →
+    MergeGeoSimilarity-style scoring → the same recovery/CC/Hungarian tail
+    (``CandidateCreator.java:132-275``), composed on a fixture with planted
+    near-duplicate labels."""
+    from pyspark.sql import functions as F
+
+    from mapping_analysis_spark.functions.simfns import make_minhash_udf, trigram_cosine
+    from mapping_analysis_spark.operators.blocking import lsh_band_pairs
+    from mapping_analysis_spark.operators.candidates import candidate_creator
+
+    labels = [
+        ("c1", "grand hotel continental berlin"),
+        ("c2", "grand hotel continental berlim"),  # near-dup of c1
+        ("c3", "mount aurora research station"),
+        ("c4", "mount aurora research statien"),  # near-dup of c3
+        ("c5", "completely unrelated entity"),
+    ]
+    df = spark.createDataFrame(labels, ["cid", "label"])
+    mh = make_minhash_udf(num_hashes=12, shingle_width=2)
+    sig = df.select(
+        F.col("cid").alias("rid"), mh(F.split("label", " ")).alias("minhash")
+    )
+    cand = lsh_band_pairs(sig, bands=12, rows_per_band=1).select(
+        F.col("a_rid").alias("a_cid"), F.col("b_rid").alias("b_cid")
+    )
+    la = df.select(F.col("cid").alias("a_cid"), F.col("label").alias("a_label"))
+    lb = df.select(F.col("cid").alias("b_cid"), F.col("label").alias("b_label"))
+    scored = (
+        cand.join(la, "a_cid").join(lb, "b_cid")
+        .select("a_cid", "b_cid", trigram_cosine("a_label", "b_label").alias("sim"))
+    )
+    out = candidate_creator(scored, df.select("cid"), threshold=0.7)
+    got = {(r["a_cid"], r["b_cid"]) for r in out.collect() if r["a_cid"] != r["b_cid"]}
+    selfs = {r["a_cid"] for r in out.collect() if r["a_cid"] == r["b_cid"]}
+    assert got == {("c1", "c2"), ("c3", "c4")}
+    assert selfs == {"c5"}
