@@ -1543,9 +1543,12 @@ def _attr_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rec.select(
         "rid",
         F.when(nt % 17 == 0, F.lit(95.0))
-        .otherwise((dl * 7919 % 18000) / F.lit(100.0) - 90.0)
+        .otherwise((dl.cast("bigint") * 7919 % 18000) / F.lit(100.0) - 90.0)
         .alias("lat"),
-        ((dl * 104729 % 36000) / F.lit(100.0) - 180.0).alias("lon"),
+        # bigint multiplies: length(doc) * 104729 overflows int32 on the
+        # sf0.1 mega-conversation under ANSI (values are identical — the
+        # mod result never exceeded int32 anyway)
+        ((dl.cast("bigint") * 104729 % 36000) / F.lit(100.0) - 180.0).alias("lon"),
         F.when(nt % 13 == 0, F.lit(None)).otherwise(1950 + dl % 70).alias("year"),
         F.when(nt % 11 == 0, F.lit(None)).otherwise(ll % 30).alias("len_attr"),
         F.when(nt % 7 == 0, F.lit("")).otherwise((nt % 8).cast("string")).alias("number"),

@@ -65,6 +65,14 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # locality wait: the 3s default serializes stages on many few-core
+        # executors (checkpoint-block locality), but 0 forces remote fetches
+        # of localCheckpoint blocks; 500ms balances both (measured on the
+        # local-cluster scaling matrix, see BENCH.md)
+        .config(
+            "spark.locality.wait",
+            os.environ.get("SPARK_GRAFT_LOCALITY_WAIT", "500ms"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -58,8 +58,15 @@ def worker(cores: int) -> None:
         f"local-cluster[{cores},1,{WORKER_MEM_MB}]" if MODE == "local-cluster" else None
     )
     os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
+    mult = int(os.environ.get("SPARK_GRAFT_SHUFFLE_MULT", "1"))
+    # On a real cluster shuffle partitioning is sized to the DATA (so
+    # per-task state fits memory) and held constant while executors scale —
+    # SPARK_GRAFT_SHUFFLE_PARTS pins that; the default cores*mult is only
+    # safe at small SF (2 partitions of an sf4.0 fat join OOM a 12g
+    # executor)
+    parts = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTS", "0")) or cores * mult
     spark = get_spark(
-        f"scaling-{cores}", cores=cores, shuffle_partitions=cores, master=master
+        f"scaling-{cores}", cores=cores, shuffle_partitions=parts, master=master
     )
     if master:
         # ship the package to the executor JVMs — the programmatic
@@ -250,7 +257,7 @@ def _write_bench_md(s: dict) -> None:
     lo, hi = s["levels"][0], s["levels"][-1]
     rlo, rhi = s["raw"][lo], s["raw"][hi]
     if "scoring_scaling_efficiency_N_to_4N" not in s:
-        return  # e2e-only sweep: summary JSON is the artifact (see BENCH.md)
+        return  # e2e-only sweep: the summary JSON is the artifact (BENCH.md narrates)
     if s.get("mode") == "local-cluster":
         setup = (
             f"local-cluster[{lo},1,4g] = N vs local-cluster[{hi},1,4g] = 4N — "
@@ -265,7 +272,7 @@ def _write_bench_md(s: dict) -> None:
             f"sandbox stand-in for N vs 4N executors per BASELINE.md"
         )
         lvl = lambda c: f"local[{c}]"  # noqa: E731
-    md = f"""# BENCH — measured throughput + scaling efficiency
+    md = f"""# BENCH_SCALING — raw generated sweep (narrative: BENCH.md)
 
 Same jobs at two parallelism levels ({setup}), fresh JVM per
 level. Input: synthetic transcripts at `{s["sf_dir"]}` ({s["n_turns"]}
@@ -317,7 +324,7 @@ Regenerate: `python scripts/scaling_bench.py` (writes this file; env:
 Per-query timings: `python bench.py` → one JSON line (driver records
 BENCH_r{{N}}.json).
 """
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+    with open(os.path.join(REPO, "BENCH_SCALING.md"), "w") as f:
         f.write(md)
 
 

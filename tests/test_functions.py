@@ -126,7 +126,9 @@ def test_simhash_near_duplicates_close(spark):
     c = [f"zzz{i}" for i in range(64)]
     df = spark.createDataFrame([(a,), (b,), (c,)], ["t"])
     u = make_simhash_udf()
-    h = [r[0] for r in df.select(u(F.col("t"))).collect()]
+    # tokens are hashed JVM-side — the kernel consumes int64 arrays
+    hashed = F.transform(F.col("t"), lambda x: F.xxhash64(x))
+    h = [r[0] for r in df.select(u(hashed)).collect()]
     def ham(x, y):
         return bin((x ^ y) & ((1 << 64) - 1)).count("1")
     assert ham(h[0], h[1]) < ham(h[0], h[2])
