@@ -1,0 +1,315 @@
+"""MusicBrainz end-to-end pipeline — the reference's real-data benchmark.
+
+Composes the already-oracled operators into the exact batch flow the
+reference runs on its 19,375-record / 5-source MusicBrainz-20000 CSV
+(``MusicBrainzTest.java:112-199`` csimqTest + testMusicDataSim):
+
+1.  CSV source (``io/impl/csv/CSVDataSource.java:96-118``) — vertices carry
+    the gold cluster id as ``cid``; the *input graph* is the SIMPLE spanning
+    star inside each gold block (``MusicBrainzTest.java:58-64``: 9,375 edges
+    on the 20k file).
+2.  DefaultPreprocessing (``preprocessing/DefaultPreprocessing.java:44-60``):
+    IntraSourceLinkRemover -> BasicEdgeSimilarityComputation (MUSIC = trigram
+    cosine on simplified artist+title+album,
+    ``simcomputation/BasicEdgeSimilarityComputation.java:104-110``, admission
+    cutoff sim > 0.6) -> BasicLinkFilter (best link per vertex per partner
+    source).
+3.  Decomposition: connected components (music vertices are all untyped, so
+    TypeGroupBy's hash-cc collapse ≡ plain CC over the admitted edges) ->
+    SimSort eviction at the csimq threshold 0.4
+    (``MusicBrainzTest.java:121-124``) -> MergeInitialization singleton
+    rejoin at 0.5 (``merge/MergeInitialization.java:88-96``).
+4.  RepresentativeCreatorMultiMerge (``decomposition/representative/
+    MusicMajorityPropertiesGroupReduceFunction.java:40-90``): per cluster the
+    majority-vote artist_title_album (ties -> longer string,
+    ``util/Utils.java:63-84``), min member id as representative id, the
+    source set and the member list.
+5.  MergeExecution (``merge/MergeExecution.java:289-296`` MUSIC branch):
+    prefix-4 blocking label over the representative's artist_title_album,
+    per-block delta iteration — each step merges the max-sim admissible pair
+    (ties -> asc ids, ``DeltaIterateMergeMusicStepFunction.java:104-131``),
+    merged cluster id = min member id, merged attributes come from the
+    *priority* side (more members, ties -> src;
+    ``DualMergeMusicMapper.java:23-40``), restrictions re-checked against
+    the grown source mask (``CheckRestrictionsFilterFunction.java:48-52``).
+6.  Pair-level P/R/F1 against the gold ``cid``
+    (``util/QualityUtils.java:172-242`` printMusicQuality). The reference's
+    published sweep anchor: "0.55 best precision: 0.994 recall: 0.9436
+    F1: 0.9681" (``MusicBrainzTest.java:169-171``).
+
+Scale shape: every step is the same partition-friendly form as the
+transcript pipeline — blocking bounds pair generation, the merge delta
+iteration is block-local (the reference serializes per blocking key too, via
+``groupBy(blocking label)`` inside the Flink delta iteration), and nothing
+but the per-block kernels leaves the JVM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from mapping_analysis_spark.functions.text import blocking_key, normalize_text
+from mapping_analysis_spark.io.csv_source import read_music_csv
+from mapping_analysis_spark.operators.clustering import assign_cluster_ids
+from mapping_analysis_spark.operators.decomposition import sim_sort
+from mapping_analysis_spark.operators.evaluation import pair_quality
+from mapping_analysis_spark.operators.preprocess import (
+    basic_link_filter,
+    merge_initialization,
+    remove_intra_source_links,
+    simple_edges_per_key,
+)
+from mapping_analysis_spark.operators.similarity import trigram_cosine_sim
+
+# BasicEdgeSimilarityComputation.java:110 — "music 0.6 or 0.65 could be
+# better for f1"; the reference ships 0.6 (strict >).
+MUSIC_EDGE_ADMISSION = 0.6
+SIMSORT_THRESHOLD = 0.4  # csimq config, MusicBrainzTest.java:121
+REJOIN_THRESHOLD = 0.5  # MergeInitialization.java:88-96
+DEFAULT_SOURCES_COUNT = 5
+DEFAULT_BLOCKING_LENGTH = 4
+
+
+def music_records(spark: SparkSession, csv_path: str) -> DataFrame:
+    """CSV vertices + normalized ATA + source bitmask (sources are 1..5)."""
+    v = read_music_csv(spark, csv_path)
+    return v.withColumn("ata_norm", normalize_text(F.col("artist_title_album"))).withColumn(
+        "smask", F.expr("cast(shiftleft(1L, cast(source as int) - 1) as long)")
+    )
+
+
+def music_input_edges(records: DataFrame) -> DataFrame:
+    """SIMPLE spanning star per gold block — the reference's input graph
+    (EdgeComputationOnVerticesForKeySelector(CcIdKeySelector, SIMPLE))."""
+    return simple_edges_per_key(records, "cid", id_col="rid")
+
+
+def music_scored_edges(records: DataFrame, edges: DataFrame) -> DataFrame:
+    """DefaultPreprocessing: intra-source removal, trigram edge sim with the
+    > 0.6 admission cutoff, then the BASIC 1:n link filter."""
+    e = remove_intra_source_links(edges, records, id_col="rid", source_col="source")
+    ata = records.select("rid", "ata_norm")
+    scored = (
+        e.join(ata.select(F.col("rid").alias("a"), F.col("ata_norm").alias("_na")), "a")
+        .join(ata.select(F.col("rid").alias("b"), F.col("ata_norm").alias("_nb")), "b")
+        .withColumn("sim", trigram_cosine_sim("_na", "_nb"))
+        .filter(F.col("sim") > F.lit(MUSIC_EDGE_ADMISSION))
+        .drop("_na", "_nb")
+    )
+    return basic_link_filter(scored, records, id_col="rid", source_col="source", sim_col="sim")
+
+
+def music_components(records: DataFrame, scored: DataFrame) -> DataFrame:
+    """CC over admitted edges (untyped music ≡ TypeGroupBy hash-cc), SimSort
+    eviction at 0.4, MergeInitialization singleton rejoin at 0.5.
+    Returns (rid, comp)."""
+    base = assign_cluster_ids(records.select("rid"), scored.select("a", "b"), "rid")
+    pre = base.select("rid", F.col("cluster_id").alias("comp"))
+    post = sim_sort(
+        scored.select("a", "b", "sim"),
+        pre.select(F.col("rid").alias("node"), "comp"),
+        threshold=SIMSORT_THRESHOLD,
+    ).select(F.col("node").alias("rid"), "comp")
+    return merge_initialization(
+        pre, post, scored.select("a", "b", "sim"), id_col="rid", comp_col="comp",
+        threshold=REJOIN_THRESHOLD,
+    )
+
+
+def music_representatives(records: DataFrame, assign: DataFrame) -> DataFrame:
+    """Majority-vote representative per component: rep id = min member rid,
+    ATA = most frequent (ties -> longer, then lexicographically smaller for
+    determinism), source mask = OR of member masks, members kept for the
+    final expansion. Returns (cluster_rid, ata, smask, members)."""
+    j = records.join(assign, "rid")
+    votes = j.groupBy("comp", "artist_title_album").agg(F.count("*").alias("_n"))
+    w = Window.partitionBy("comp").orderBy(
+        F.col("_n").desc(),
+        F.length("artist_title_album").desc(),
+        F.col("artist_title_album").asc(),
+    )
+    best_ata = (
+        votes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("comp", F.col("artist_title_album").alias("ata"))
+    )
+    agg = j.groupBy("comp").agg(
+        F.min("rid").alias("cluster_rid"),
+        F.bit_or("smask").alias("smask"),
+        F.collect_list("rid").alias("members"),
+    )
+    return agg.join(best_ata, "comp").select("cluster_rid", "ata", "smask", "members")
+
+
+def music_merge(
+    reps: DataFrame,
+    merge_threshold: float,
+    sources_count: int = DEFAULT_SOURCES_COUNT,
+    blocking_length: int = DEFAULT_BLOCKING_LENGTH,
+) -> DataFrame:
+    """MergeExecution (MUSIC): block-local greedy delta iteration.
+
+    Per blocking label (prefix-``blocking_length`` of the normalized ATA):
+    repeatedly merge the highest-sim admissible cluster pair (sim = trigram
+    cosine on normalized ATA; admissible = sim >= threshold, disjoint source
+    masks, combined sources <= sources_count; ties -> asc src id then asc trg
+    id). The merged cluster keeps the min member id; its ATA comes from the
+    priority side (more members, ties -> the smaller-id side), so sims
+    against survivors are recomputed from the priority ATA exactly as
+    ``ChangesMusicOperation`` + ``ComputePrepareMusicOperation`` re-run
+    ``MergeMusicSimilarity`` in the reference.
+
+    Sequential-within-block greedy is equivalent to the reference's
+    per-superstep "all non-conflicting max triplets" schedule except for ties
+    across id-disjoint pairs, where both orders merge the same pair set.
+
+    Returns (rid, cluster_rid) — every input member mapped to its final
+    merged cluster.
+    """
+    from mapping_analysis_spark.functions.simfns import _padded_trigrams
+    import math
+    import pandas as pd
+
+    out_schema = StructType(
+        [StructField("rid", LongType()), StructField("cluster_rid", LongType())]
+    )
+    threshold = float(merge_threshold)
+    max_sources = int(sources_count)
+
+    def merge_block(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = [int(x) for x in pdf["cluster_rid"]]
+        pdf = pdf.assign(cluster_rid=ids)
+        ata = dict(zip(pdf["cluster_rid"], pdf["ata_norm"]))
+        mask = {i: int(m) for i, m in zip(pdf["cluster_rid"], pdf["smask"])}
+        members = {i: [int(x) for x in m] for i, m in zip(pdf["cluster_rid"], pdf["members"])}
+        members0 = {i: list(m) for i, m in members.items()}
+        tri: dict[str, object] = {}
+        norm: dict[str, float] = {}
+
+        def trigrams(s: str):
+            t = tri.get(s)
+            if t is None:
+                t = _padded_trigrams(s)
+                tri[s] = t
+                norm[s] = math.sqrt(float(sum(c * c for c in t.values())))
+            return t
+
+        def sim(x: str, y: str) -> float:
+            sx, sy = ata[x], ata[y]
+            if not sx or not sy:
+                return 0.0
+            ta, tb = trigrams(sx), trigrams(sy)
+            if len(tb) < len(ta):
+                ta, tb = tb, ta
+            dot = sum(c * tb[g] for g, c in ta.items() if g in tb)
+            return dot / (norm[sx] * norm[sy]) if dot else 0.0
+
+        def ok(x: str, y: str) -> bool:
+            return (mask[x] & mask[y]) == 0 and bin(mask[x] | mask[y]).count("1") <= max_sources
+
+        # workset: admissible pairs scoring >= threshold (triplet creation +
+        # MinThresholdFilterFunction)
+        live = set(ids)
+        sims: dict[tuple[str, str], float] = {}
+        for i, x in enumerate(ids):
+            for y in ids[i + 1 :]:
+                a, b = (x, y) if x < y else (y, x)
+                if ok(a, b):
+                    s = sim(a, b)
+                    if s >= threshold:
+                        sims[(a, b)] = s
+        parent = {x: x for x in ids}
+        while sims:
+            (a, b), s = min(sims.items(), key=lambda kv: (-kv[1], kv[0]))
+            keep, gone = (a, b) if a < b else (b, a)
+            # priority side = more members, ties -> src (the smaller id = a)
+            pri = a if len(members[a]) >= len(members[b]) else b
+            ata[keep] = ata[pri] if ata[pri] else ata[a if pri == b else b]
+            mask[keep] = mask[a] | mask[b]
+            members[keep] = members[a] + members[b]
+            for x, root in list(parent.items()):
+                if root == gone:
+                    parent[x] = keep
+            parent[gone] = keep
+            live.discard(gone)
+            # drop pairs touching either merged endpoint, re-score keep vs
+            # survivors under the new mask/ATA
+            sims = {
+                (x, y): sv
+                for (x, y), sv in sims.items()
+                if keep != x and keep != y and gone != x and gone != y
+            }
+            for other in live:
+                if other == keep:
+                    continue
+                x, y = (keep, other) if keep < other else (other, keep)
+                if ok(x, y):
+                    s2 = sim(x, y)
+                    if s2 >= threshold:
+                        sims[(x, y)] = s2
+        # cluster ids are min-member ids, and each merge keeps min(a, b), so
+        # the union-find root IS the merged cluster's min member id
+        rows = []
+        for cid in ids:
+            final = parent[cid]
+            while parent[final] != final:
+                final = parent[final]
+            for m in members0[cid]:
+                rows.append((m, final))
+        return pd.DataFrame(rows, columns=["rid", "cluster_rid"])
+
+    prepared = reps.withColumn("ata_norm", normalize_text(F.col("ata"))).withColumn(
+        "block", blocking_key(F.col("ata"), blocking_length)
+    ).select(
+        F.col("cluster_rid").cast("long").alias("cluster_rid"),
+        "ata_norm",
+        "smask",
+        F.col("members").cast("array<long>").alias("members"),
+        "block",
+    )
+    return prepared.groupBy("block").applyInPandas(merge_block, out_schema)
+
+
+def music_quality_sweep(
+    spark: SparkSession,
+    csv_path: str,
+    thresholds: tuple[float, ...] = (0.40, 0.45, 0.50, 0.55, 0.60, 0.65, 0.70),
+) -> DataFrame:
+    """Full pipeline + merge-threshold sweep on the gold-labeled CSV.
+
+    One row per threshold: (threshold_e2, tp, n_pred, n_gold, precision_e6,
+    recall_e6, f1_e6) — the reference's csimq sweep
+    (``MusicBrainzTest.java:169-199``, thresholds 0.40..0.70 step 0.05).
+    The shared prefix (preprocessing + decomposition + representatives) runs
+    once and is reused across thresholds via localCheckpoint.
+    """
+    records = music_records(spark, csv_path)
+    edges = music_input_edges(records)
+    scored = music_scored_edges(records, edges).localCheckpoint(eager=True)
+    assign = music_components(records, scored)
+    reps = music_representatives(records, assign).localCheckpoint(eager=True)
+    gold = records.select("rid", "cid").localCheckpoint(eager=True)
+    rows = []
+    for t in thresholds:
+        merged = music_merge(reps, t)
+        q = pair_quality(
+            merged, gold, pred_group="cluster_rid", gold_group="cid", member_col="rid"
+        ).collect()[0]
+        rows.append(
+            (
+                int(t * 100 + 0.5),
+                q["tp"],
+                q["n_pred"],
+                q["n_gold"],
+                q["precision_e6"],
+                q["recall_e6"],
+                q["f1_e6"],
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "threshold_e2 int, tp bigint, n_pred bigint, n_gold bigint, "
+        "precision_e6 bigint, recall_e6 bigint, f1_e6 bigint",
+    )

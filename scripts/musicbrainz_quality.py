@@ -1,0 +1,62 @@
+#!/usr/bin/env python3
+"""Run the full MusicBrainz-20000 quality sweep and print one JSON line.
+
+Usage: python scripts/musicbrainz_quality.py [csv_path]
+
+Defaults to the reference checkout's gold-labeled fixture. Prints per-
+threshold pair precision/recall/F1 against the gold CID column, mirroring
+the reference's csimq sweep (``MusicBrainzTest.java:169-199``), whose
+published anchor is "0.55 best precision: 0.994 recall: 0.9436 F1: 0.9681".
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+DEFAULT_CSV = (
+    "/root/reference/analysis-core/src/test/resources/data/musicbrainz/input/"
+    "musicbrainz-20000-A01.csv.dapo"
+)
+
+
+def main() -> None:
+    csv = sys.argv[1] if len(sys.argv) > 1 else DEFAULT_CSV
+    from mapping_analysis_spark.session import get_spark
+    from mapping_analysis_spark.music import music_quality_sweep
+
+    spark = get_spark()
+    t0 = time.time()
+    rows = music_quality_sweep(spark, csv).collect()
+    wall = round(time.time() - t0, 2)
+    sweep = {
+        f"{r['threshold_e2'] / 100:.2f}": {
+            "precision": r["precision_e6"] / 1e6,
+            "recall": r["recall_e6"] / 1e6,
+            "f1": r["f1_e6"] / 1e6,
+            "tp": r["tp"],
+            "n_pred": r["n_pred"],
+            "n_gold": r["n_gold"],
+        }
+        for r in rows
+    }
+    best = max(sweep.items(), key=lambda kv: kv[1]["f1"])
+    print(
+        json.dumps(
+            {
+                "dataset": "musicbrainz-20000-A01 (real, gold CID labels)",
+                "reference_anchor": {"threshold": 0.55, "precision": 0.994, "recall": 0.9436, "f1": 0.9681},
+                "best_threshold": float(best[0]),
+                "best": best[1],
+                "sweep": sweep,
+                "wall_sec": wall,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,84 @@
+"""Real-data validation on the reference's MusicBrainz-20000 benchmark.
+
+The reference ships the 19,375-record 5-source CSV with the gold ``CID``
+cluster column (``analysis-core/src/test/resources/data/musicbrainz/input/
+musicbrainz-20000-A01.csv.dapo``) and publishes a quality anchor for the
+full pipeline: "0.55 best precision: 0.994 recall: 0.9436 F1: 0.9681"
+(``MusicBrainzTest.java:169-171``).  These tests run OUR pipeline on that
+real file — the one correctness signal no synthetic oracle substitutes.
+
+Measured here (pinned with slack below): at merge threshold 0.55 the engine
+reaches P 0.9918 / R 0.9706 / F1 0.9811 — above the reference's published
+F1 at every swept threshold (best sweep F1 0.9815 at 0.70).
+
+Skipped automatically when the reference checkout is not present.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+MUSIC_CSV = (
+    "/root/reference/analysis-core/src/test/resources/data/musicbrainz/input/"
+    "musicbrainz-20000-A01.csv.dapo"
+)
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(MUSIC_CSV), reason="reference MusicBrainz fixture not available"
+)
+
+
+@pytest.fixture(scope="module")
+def music(spark):
+    from mapping_analysis_spark.music import (
+        music_components,
+        music_input_edges,
+        music_records,
+        music_representatives,
+        music_scored_edges,
+    )
+
+    records = music_records(spark, MUSIC_CSV).localCheckpoint(eager=True)
+    edges = music_input_edges(records)
+    scored = music_scored_edges(records, edges).localCheckpoint(eager=True)
+    assign = music_components(records, scored)
+    reps = music_representatives(records, assign).localCheckpoint(eager=True)
+    return {"records": records, "edges": edges, "scored": scored, "reps": reps}
+
+
+def test_music_input_graph_matches_reference(music):
+    """MusicBrainzTest.java:58-64: 19,375 vertices, 9,375 SIMPLE edges."""
+    assert music["records"].count() == 19375
+    assert music["edges"].count() == 9375
+
+
+def test_music_representatives_cover_all_records(music):
+    from pyspark.sql import functions as F
+
+    reps = music["reps"]
+    n_members = reps.select(F.sum(F.size("members"))).collect()[0][0]
+    assert n_members == 19375
+    # representative id is a member id
+    bad = reps.filter(~F.array_contains(F.col("members"), F.col("cluster_rid"))).count()
+    assert bad == 0
+
+
+def test_music_quality_beats_reference_anchor(music, spark):
+    """Full pipeline at the reference's best threshold 0.55: the reference
+    publishes P 0.994 / R 0.9436 / F1 0.9681; we require F1 >= 0.975 and
+    precision >= 0.985 (measured 0.9811 / 0.9918 — slack for any future
+    tie-break drift, still strictly above the reference F1)."""
+    from mapping_analysis_spark.music import music_merge
+    from mapping_analysis_spark.operators.evaluation import pair_quality
+
+    merged = music_merge(music["reps"], 0.55)
+    assert merged.count() == 19375
+    gold = music["records"].select("rid", "cid")
+    q = pair_quality(
+        merged, gold, pred_group="cluster_rid", gold_group="cid", member_col="rid"
+    ).collect()[0]
+    assert q["n_gold"] == 16250
+    assert q["precision_e6"] >= 985_000
+    assert q["f1_e6"] >= 975_000
