@@ -103,12 +103,38 @@ def fix_language(col: Column) -> Column:
     )
 
 
+def simplify_music(col: Column) -> Column:
+    """The reference's ``simplify`` (``util/Utils.java:832-838``): lowercase,
+    ASCII punctuation -> space (``\\p{Punct}`` — accented letters are KEPT,
+    unlike the transcript pipeline's alnum-only normalize), collapse
+    whitespace runs, trim."""
+    c = F.regexp_replace(F.lower(col), r"[\p{Punct}]", " ")
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def _sane(col: Column) -> Column:
+    """``Utils.isSane`` (``util/Utils.java:89-94``): null / "no_label_found"
+    / "no_value" / "--" are not usable attribute values."""
+    return col.isNotNull() & ~col.isin("no_label_found", "no_value", "--")
+
+
 def read_music_csv(spark: SparkSession, path: str, sep: str = ",") -> DataFrame:
     """MusicBrainz CSV → vertex frame (rid, cid, source, number, label,
-    length, artist, album, year, language, artist_title_album)."""
+    length, artist, album, year, language, artist_title_album).
+
+    ``artist_title_album`` follows ``Utils.createSimpleArtistTitleAlbum``
+    (``util/Utils.java:760-788``): sane(artist) + sane(title) + sane(album)
+    joined with spaces, then simplified (lowercase, punctuation -> space,
+    collapsed) — "--" placeholders are dropped, accents kept."""
     raw = spark.read.csv(path, schema=MUSIC_CSV_SCHEMA, sep=sep, header=True)
-    ata_parts = F.array(F.col("artist"), F.col("title"), F.col("album"))
-    ata = F.array_join(F.filter(ata_parts, lambda x: x.isNotNull() & (x != F.lit(""))), " ")
+    ata_parts = F.array(
+        F.when(_sane(F.col("artist")), F.col("artist")),
+        F.when(_sane(F.col("title")), F.col("title")),
+        F.when(_sane(F.col("album")), F.col("album")),
+    )
+    ata = simplify_music(
+        F.array_join(F.filter(ata_parts, lambda x: x.isNotNull()), " ")
+    )
     return raw.select(
         F.col("TID").alias("rid"),
         F.col("CID").alias("cid"),

@@ -46,23 +46,31 @@ but the per-block kernels leaves the JVM.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
-from mapping_analysis_spark.functions.text import blocking_key, normalize_text
+import math
+
+import pandas as pd
+from pyspark.sql.types import DoubleType
+
 from mapping_analysis_spark.io.csv_source import read_music_csv
-from mapping_analysis_spark.operators.clustering import assign_cluster_ids
+from mapping_analysis_spark.operators.clustering import (
+    assign_cluster_ids,
+    connected_components,
+)
 from mapping_analysis_spark.operators.decomposition import sim_sort
 from mapping_analysis_spark.operators.evaluation import pair_quality
 from mapping_analysis_spark.operators.preprocess import (
+    all_edges_per_key,
     basic_link_filter,
     merge_initialization,
     remove_intra_source_links,
     simple_edges_per_key,
 )
-from mapping_analysis_spark.operators.similarity import trigram_cosine_sim
-
 # BasicEdgeSimilarityComputation.java:110 — "music 0.6 or 0.65 could be
 # better for f1"; the reference ships 0.6 (strict >).
 MUSIC_EDGE_ADMISSION = 0.6
@@ -72,10 +80,81 @@ DEFAULT_SOURCES_COUNT = 5
 DEFAULT_BLOCKING_LENGTH = 4
 
 
+def _trigrams(s: str):
+    """Padded 3-gram Counter (simmetrics ``Tokenizers.qGramWithPadding(3)``
+    pads with q-1 = '##' on both sides)."""
+    from collections import Counter
+
+    p = "##" + s + "##"
+    return Counter(p[i : i + 3] for i in range(len(p) - 2))
+
+
+def _simmetrics_cosine(ta, la: int, tb, lb: int) -> float:
+    """simmetrics-4.0.1 ``CosineSimilarity<T>`` over multisets (the metric
+    the reference builds in ``util/Utils.java:869-873``): Σ min(ca, cb) /
+    (sqrt(Σca) · sqrt(Σcb)) — min-sum intersection over total token counts,
+    NOT the count-dot-product cosine — computed to float32 like the Java
+    ``(float)`` cast, then 6-dp HALF_UP (``Utils.getExactDoubleResult``)."""
+    import numpy as np
+
+    if la == 0 or lb == 0:
+        return 0.0
+    if len(tb) < len(ta):
+        ta, tb = tb, ta
+    inter = sum(min(c, tb[g]) for g, c in ta.items() if g in tb)
+    if not inter:
+        return 0.0
+    v = float(np.float32(inter / (math.sqrt(la) * math.sqrt(lb))))
+    return math.floor(v * 1_000_000 + 0.5) / 1_000_000
+
+
+@F.pandas_udf(DoubleType())
+def trigram_cosine_simmetrics(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-batched simmetrics trigram cosine over already-simplified
+    strings. Unique-string memoization: MusicBrainz labels repeat across
+    many candidate pairs, so the per-batch trigram tables are built once per
+    distinct string."""
+    tri: dict = {}
+
+    def tab(s):
+        t = tri.get(s)
+        if t is None:
+            c = _trigrams(s)
+            t = (c, sum(c.values()))
+            tri[s] = t
+        return t
+
+    out = []
+    for x, y in zip(a, b):
+        if x is None or y is None or x == "" or y == "":
+            out.append(0.0)
+            continue
+        ta, la = tab(x)
+        tb, lb = tab(y)
+        out.append(_simmetrics_cosine(ta, la, tb, lb))
+    return pd.Series(out)
+
+
+def music_blocking_label(col, length: int = DEFAULT_BLOCKING_LENGTH):
+    """``Utils.getMusicBlockingLabel`` (``util/Utils.java:682-733``): on the
+    lowercase (already simplified) label, strip a leading "the" plus one
+    char and trim, take the first ``length`` chars (SPACES KEPT, no
+    padding); if that leaves nothing, fall back to the unstripped prefix."""
+    lab = F.lower(col)
+    stripped = F.when(
+        lab.startswith("the") & (F.length(lab) > 3),
+        F.trim(F.substring(lab, 5, 2_000_000)),
+    ).otherwise(lab)
+    key = F.substring(stripped, 1, length)
+    return F.when(key == "", F.substring(lab, 1, length)).otherwise(key)
+
+
 def music_records(spark: SparkSession, csv_path: str) -> DataFrame:
-    """CSV vertices + normalized ATA + source bitmask (sources are 1..5)."""
+    """CSV vertices + source bitmask (sources are 1..5). ``ata_norm`` is the
+    artist_title_album itself — the CSV source already stores it simplified
+    (``createSimpleArtistTitleAlbum``), and ``simplify`` is idempotent."""
     v = read_music_csv(spark, csv_path)
-    return v.withColumn("ata_norm", normalize_text(F.col("artist_title_album"))).withColumn(
+    return v.withColumn("ata_norm", F.col("artist_title_album")).withColumn(
         "smask", F.expr("cast(shiftleft(1L, cast(source as int) - 1) as long)")
     )
 
@@ -94,7 +173,7 @@ def music_scored_edges(records: DataFrame, edges: DataFrame) -> DataFrame:
     scored = (
         e.join(ata.select(F.col("rid").alias("a"), F.col("ata_norm").alias("_na")), "a")
         .join(ata.select(F.col("rid").alias("b"), F.col("ata_norm").alias("_nb")), "b")
-        .withColumn("sim", trigram_cosine_sim("_na", "_nb"))
+        .withColumn("sim", trigram_cosine_simmetrics(F.col("_na"), F.col("_nb")))
         .filter(F.col("sim") > F.lit(MUSIC_EDGE_ADMISSION))
         .drop("_na", "_nb")
     )
@@ -168,10 +247,6 @@ def music_merge(
     Returns (rid, cluster_rid) — every input member mapped to its final
     merged cluster.
     """
-    from mapping_analysis_spark.functions.simfns import _padded_trigrams
-    import math
-    import pandas as pd
-
     out_schema = StructType(
         [StructField("rid", LongType()), StructField("cluster_rid", LongType())]
     )
@@ -185,26 +260,23 @@ def music_merge(
         mask = {i: int(m) for i, m in zip(pdf["cluster_rid"], pdf["smask"])}
         members = {i: [int(x) for x in m] for i, m in zip(pdf["cluster_rid"], pdf["members"])}
         members0 = {i: list(m) for i, m in members.items()}
-        tri: dict[str, object] = {}
-        norm: dict[str, float] = {}
+        tri: dict[str, tuple] = {}
 
-        def trigrams(s: str):
+        def tab(s: str):
             t = tri.get(s)
             if t is None:
-                t = _padded_trigrams(s)
+                c = _trigrams(s)
+                t = (c, sum(c.values()))
                 tri[s] = t
-                norm[s] = math.sqrt(float(sum(c * c for c in t.values())))
             return t
 
         def sim(x: str, y: str) -> float:
             sx, sy = ata[x], ata[y]
             if not sx or not sy:
                 return 0.0
-            ta, tb = trigrams(sx), trigrams(sy)
-            if len(tb) < len(ta):
-                ta, tb = tb, ta
-            dot = sum(c * tb[g] for g, c in ta.items() if g in tb)
-            return dot / (norm[sx] * norm[sy]) if dot else 0.0
+            ta, la = tab(sx)
+            tb, lb = tab(sy)
+            return _simmetrics_cosine(ta, la, tb, lb)
 
         def ok(x: str, y: str) -> bool:
             return (mask[x] & mask[y]) == 0 and bin(mask[x] | mask[y]).count("1") <= max_sources
@@ -260,8 +332,8 @@ def music_merge(
                 rows.append((m, final))
         return pd.DataFrame(rows, columns=["rid", "cluster_rid"])
 
-    prepared = reps.withColumn("ata_norm", normalize_text(F.col("ata"))).withColumn(
-        "block", blocking_key(F.col("ata"), blocking_length)
+    prepared = reps.withColumn("ata_norm", F.col("ata")).withColumn(
+        "block", music_blocking_label(F.col("ata"), blocking_length)
     ).select(
         F.col("cluster_rid").cast("long").alias("cluster_rid"),
         "ata_norm",
@@ -270,6 +342,227 @@ def music_merge(
         "block",
     )
     return prepared.groupBy("block").applyInPandas(merge_block, out_schema)
+
+
+def _rep_blocked_scored_edges(reps: DataFrame, blocking_length: int) -> DataFrame:
+    """Blocked ALL-pairs candidate edges between representatives with
+    trigram admission > 0.6, plus both sides' source masks.
+
+    The MULTI incremental flow (``clusterstrategies/
+    MultiIncrementalClusteringFunction.java:66-133``): blocking-key edges →
+    DefaultPreprocessing; IntraSourceLinkRemover is a documented NO-OP in
+    incremental mode (``IntraSourceLinkRemover.java:128-131``); the 1:n
+    selection happens in :func:`greedy_source_link_selection`."""
+    prepared = reps.select(
+        F.col("cluster_rid").alias("rid"),
+        F.col("ata").alias("ata_norm"),
+        "smask",
+        music_blocking_label(F.col("ata"), blocking_length).alias("block"),
+    )
+    e = all_edges_per_key(prepared, "block", id_col="rid")
+    side = prepared.select("rid", "ata_norm", "smask")
+    return (
+        e.join(
+            side.select(
+                F.col("rid").alias("a"),
+                F.col("ata_norm").alias("_na"),
+                F.col("smask").alias("a_mask"),
+            ),
+            "a",
+        )
+        .join(
+            side.select(
+                F.col("rid").alias("b"),
+                F.col("ata_norm").alias("_nb"),
+                F.col("smask").alias("b_mask"),
+            ),
+            "b",
+        )
+        .withColumn("sim", trigram_cosine_simmetrics(F.col("_na"), F.col("_nb")))
+        .filter(F.col("sim") > F.lit(MUSIC_EDGE_ADMISSION))
+        .select("a", "b", "sim", "a_mask", "b_mask")
+    )
+
+
+def greedy_source_link_selection(scored: DataFrame) -> DataFrame:
+    """The faithful BASIC link filter
+    (``preprocessing/utils/LinkSelectionWithCcIdFunction.java:20-120`` +
+    ``BasicLinkFilterFunction.java:31-58``): group admitted edges by
+    connected component, walk them in (sim DESC, a ASC, b ASC) order, and
+    keep an edge only when the two evolving clusters' accumulated source
+    masks are DISJOINT — merging them and OR-ing the masks when kept. The
+    result clusters never hold two entities of one source ("we also detect
+    and handle indirect 1:n like a -> b -> c -> a").
+
+    Input: (a, b, sim, a_mask, b_mask). Output: (rid, comp) for every
+    vertex incident to an input edge — comp = min member id of its final
+    source-disjoint cluster (the reference re-runs CC over the kept edges,
+    which is exactly the union-find partition built here). Components are
+    block-bounded (candidates come from blocking), so the per-component
+    kernel is small; the groupBy ships each component to one task like the
+    reference's ``groupBy(ccId).reduceGroup``."""
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    comp = connected_components(scored.select("a", "b"))
+    e = (
+        scored.join(
+            comp.select(F.col("node").alias("a"), F.col("comp").alias("_g")), "a"
+        )
+    )
+
+    out_schema = StructType(
+        [StructField("rid", LongType()), StructField("comp", LongType())]
+    )
+
+    def select_block(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(
+            ["sim", "a", "b"], ascending=[False, True, True], kind="mergesort"
+        )
+        parent: dict[int, int] = {}
+        mask: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b, am, bm in zip(
+            pdf["a"].astype("int64"),
+            pdf["b"].astype("int64"),
+            pdf["a_mask"].astype("int64"),
+            pdf["b_mask"].astype("int64"),
+        ):
+            a, b, am, bm = int(a), int(b), int(am), int(bm)
+            if a not in parent:
+                parent[a], mask[a] = a, am
+            if b not in parent:
+                parent[b], mask[b] = b, bm
+            ra, rb = find(a), find(b)
+            if ra == rb or (mask[ra] & mask[rb]):
+                continue  # overlap (or already together) — edge rejected
+            keep, gone = (ra, rb) if ra < rb else (rb, ra)
+            parent[gone] = keep
+            mask[keep] = mask[ra] | mask[rb]
+        rows = [(x, find(x)) for x in parent]
+        return pd.DataFrame(rows, columns=["rid", "comp"])
+
+    return e.groupBy("_g").applyInPandas(select_block, out_schema)
+
+
+def _merge_reps(reps: DataFrame, scored: DataFrame) -> DataFrame:
+    """Source-disjoint greedy link selection over admitted rep edges →
+    merged representatives (``RepresentativeCreatorMultiMerge``: majority
+    ata — one vote per constituent representative, ties -> longer then
+    lexicographically smaller — min member id, OR of source masks, union of
+    members)."""
+    sel = greedy_source_link_selection(scored)
+    comp = (
+        reps.select("cluster_rid")
+        .join(sel.withColumnRenamed("rid", "cluster_rid"), "cluster_rid", "left")
+        .withColumn("comp", F.coalesce(F.col("comp"), F.col("cluster_rid")))
+    )
+    j = reps.join(comp, "cluster_rid")
+    votes = j.groupBy("comp", "ata").agg(F.count("*").alias("_n"))
+    w = Window.partitionBy("comp").orderBy(
+        F.col("_n").desc(), F.length("ata").desc(), F.col("ata").asc()
+    )
+    best = (
+        votes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("comp", "ata")
+    )
+    agg = j.groupBy("comp").agg(
+        F.min("cluster_rid").alias("cluster_rid"),
+        F.bit_or("smask").alias("smask"),
+        F.flatten(F.collect_list("members")).alias("members"),
+    )
+    return agg.join(best, "comp").select("cluster_rid", "ata", "smask", "members")
+
+
+def music_incremental_quality(
+    spark: SparkSession,
+    csv_path: str,
+    split_dir: str,
+    blocking_length: int = DEFAULT_BLOCKING_LENGTH,
+) -> DataFrame:
+    """The reference's incremental MULTI benchmark on the real splits
+    (``integration/IncrementalMusicClusteringTest.java:117-245``
+    musicIncrementalTest): initial clustering on the 80% id list, then three
+    VERTEX_ADDITION increments — +10% ids, +source "5", +final 10% ids —
+    each increment re-blocking current representatives with the new
+    singletons, admitting trigram > 0.6 edges and collapsing components.
+
+    Published anchor on this exact file (test docstring, lines 104-115):
+    P 0.98926 / R 0.88394 / F1 0.93364 (artistTitleAlbum metric).
+
+    Returns one row per phase with cluster counts and final-phase pairwise
+    P/R/F1 vs the gold CID."""
+    records = music_records(spark, csv_path).localCheckpoint(eager=True)
+
+    def ids_from(fname: str) -> DataFrame:
+        return spark.read.csv(
+            os.path.join(split_dir, fname), schema="rid long"
+        )
+
+    def singletons(subset: DataFrame) -> DataFrame:
+        return subset.select(
+            F.col("rid").alias("cluster_rid"),
+            F.col("artist_title_album").alias("ata"),
+            "smask",
+            F.array(F.col("rid")).alias("members"),
+        )
+
+    eighty = records.join(ids_from("initialEighty.txt"), "rid", "left_semi")
+    add_ten = records.join(ids_from("addTen.txt"), "rid", "left_semi")
+    last_ten = records.join(ids_from("lastTen.txt"), "rid", "left_semi")
+    source5 = records.filter(F.col("source") == "5")
+
+    reps = _merge_reps(
+        singletons(eighty),
+        _rep_blocked_scored_edges(singletons(eighty), blocking_length),
+    ).localCheckpoint(eager=True)
+    rows = [("initial_80", reps.count())]
+    for tag, inc in [
+        ("add_10", add_ten),
+        ("add_source_5", source5),
+        ("add_last_10", last_ten),
+    ]:
+        workset = reps.unionByName(singletons(inc))
+        reps = _merge_reps(
+            workset, _rep_blocked_scored_edges(workset, blocking_length)
+        ).localCheckpoint(eager=True)
+        rows.append((tag, reps.count()))
+
+    assign = reps.select(
+        F.col("cluster_rid"), F.explode("members").alias("rid")
+    )
+    gold = records.select("rid", "cid")
+    q = pair_quality(
+        assign, gold, pred_group="cluster_rid", gold_group="cid", member_col="rid"
+    ).collect()[0]
+    out = [
+        (tag, n, None, None, None, None, None, None) for tag, n in rows[:-1]
+    ] + [
+        (
+            rows[-1][0],
+            rows[-1][1],
+            q["tp"],
+            q["n_pred"],
+            q["n_gold"],
+            q["precision_e6"],
+            q["recall_e6"],
+            q["f1_e6"],
+        )
+    ]
+    return spark.createDataFrame(
+        out,
+        "phase string, n_clusters bigint, tp bigint, n_pred bigint, "
+        "n_gold bigint, precision_e6 bigint, recall_e6 bigint, f1_e6 bigint",
+    )
 
 
 def music_quality_sweep(

@@ -28,10 +28,22 @@ def main() -> None:
     from mapping_analysis_spark.session import get_spark
     from mapping_analysis_spark.music import music_quality_sweep
 
+    from mapping_analysis_spark.music import music_incremental_quality
+
     spark = get_spark()
     t0 = time.time()
     rows = music_quality_sweep(spark, csv).collect()
+    split_dir = csv.rsplit("/input/", 1)[0] + "/split"
+    inc_rows = music_incremental_quality(spark, csv, split_dir).collect()
     wall = round(time.time() - t0, 2)
+    inc_final = inc_rows[-1]
+    incremental = {
+        "phases": {r["phase"]: r["n_clusters"] for r in inc_rows},
+        "precision": inc_final["precision_e6"] / 1e6,
+        "recall": inc_final["recall_e6"] / 1e6,
+        "f1": inc_final["f1_e6"] / 1e6,
+        "reference_anchor": {"precision": 0.98926, "recall": 0.88394, "f1": 0.93364},
+    }
     sweep = {
         f"{r['threshold_e2'] / 100:.2f}": {
             "precision": r["precision_e6"] / 1e6,
@@ -52,6 +64,7 @@ def main() -> None:
                 "best_threshold": float(best[0]),
                 "best": best[1],
                 "sweep": sweep,
+                "incremental": incremental,
                 "wall_sec": wall,
             }
         )

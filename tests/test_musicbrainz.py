@@ -7,9 +7,10 @@ full pipeline: "0.55 best precision: 0.994 recall: 0.9436 F1: 0.9681"
 (``MusicBrainzTest.java:169-171``).  These tests run OUR pipeline on that
 real file — the one correctness signal no synthetic oracle substitutes.
 
-Measured here (pinned with slack below): at merge threshold 0.55 the engine
-reaches P 0.9918 / R 0.9706 / F1 0.9811 — above the reference's published
-F1 at every swept threshold (best sweep F1 0.9815 at 0.70).
+Measured here (pinned with slack below): at merge threshold 0.55 the batch
+pipeline reaches P 0.9959 / R 0.9655 / F1 0.9805 — above the reference's
+published F1 at every swept threshold (best sweep F1 0.9808 at 0.50) — and
+the incremental MULTI flow lands on the incremental anchor (see below).
 
 Skipped automatically when the reference checkout is not present.
 """
@@ -68,7 +69,7 @@ def test_music_representatives_cover_all_records(music):
 def test_music_quality_beats_reference_anchor(music, spark):
     """Full pipeline at the reference's best threshold 0.55: the reference
     publishes P 0.994 / R 0.9436 / F1 0.9681; we require F1 >= 0.975 and
-    precision >= 0.985 (measured 0.9811 / 0.9918 — slack for any future
+    precision >= 0.985 (measured 0.9805 / 0.9959 — slack for any future
     tie-break drift, still strictly above the reference F1)."""
     from mapping_analysis_spark.music import music_merge
     from mapping_analysis_spark.operators.evaluation import pair_quality
@@ -82,3 +83,22 @@ def test_music_quality_beats_reference_anchor(music, spark):
     assert q["n_gold"] == 16250
     assert q["precision_e6"] >= 985_000
     assert q["f1_e6"] >= 975_000
+
+
+def test_music_incremental_matches_reference_anchor(spark):
+    """The incremental MULTI benchmark (initial 80% -> +10% -> +source 5 ->
+    +final 10%, ``IncrementalMusicClusteringTest.java:117-245``). Published
+    anchor on this file: P 0.98926 / R 0.88394 / F1 0.93364; measured here
+    P 0.99554 / R 0.87951 / F1 0.93394 (slack below for tie-break drift)."""
+    from mapping_analysis_spark.music import music_incremental_quality
+
+    base = "/root/reference/analysis-core/src/test/resources/data/musicbrainz/"
+    rows = music_incremental_quality(spark, MUSIC_CSV, base + "split").collect()
+    assert [r["phase"] for r in rows] == [
+        "initial_80", "add_10", "add_source_5", "add_last_10",
+    ]
+    final = rows[-1]
+    assert final["n_gold"] == 16250
+    assert final["precision_e6"] >= 990_000
+    assert final["recall_e6"] >= 870_000
+    assert final["f1_e6"] >= 928_000

@@ -200,12 +200,16 @@ def test_music_csv_source(spark, tmp_path):
         f.write('2,10,2,2,x2,7,Title B,3.5,Artist B,,86,"German,English"\n')
         f.write('3,11,3,3,x3,8,Title C,2:30,Artist C,Album C,2009,ge\n')
         f.write('4,11,4,4,x4,9,Title D,432000,Artist D,Album D,2025,Spanish\n')
+        f.write("5,12,5,5,x5,9,L'enfant aux yeux d'Italie,200,--,Album É,2001,French\n")
     got = {r["rid"]: r for r in read_music_csv(spark, p).collect()}
     assert got[1]["length"] == 272 and got[1]["year"] == 2011 and got[1]["language"] == "en"
     assert got[2]["length"] == 210 and got[2]["year"] == 1986 and got[2]["language"] == "mu"
     assert got[3]["length"] == 150 and got[3]["year"] == 2009 and got[3]["language"] == "ge"
     assert got[4]["length"] == 432 and got[4]["year"] is None and got[4]["language"] == "sp"
-    assert got[2]["artist_title_album"] == "Artist B Title B"
+    # createSimpleArtistTitleAlbum: sane(artist)+title+album, simplified
+    # (lowercase, ASCII punct -> space, collapse); "--" dropped, accents kept
+    assert got[2]["artist_title_album"] == "artist b title b"
+    assert got[5]["artist_title_album"] == "l enfant aux yeux d italie album é"
 
 
 def test_type_group_by_untyped_only_group(spark):
