@@ -244,11 +244,6 @@ _MASK_LUT = np.concatenate(
 )
 
 
-def _word_mask(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
-    """uint64 mask of bits [lo, hi) per element; lo/hi int in [0, 64]."""
-    return _MASK_LUT[hi] & ~_MASK_LUT[lo]
-
-
 def _jw_batch_bits(sa: list, sb: list) -> np.ndarray:
     """Bit-parallel Jaro-Winkler, vectorized ACROSS pairs (the hot path for
     ASCII strings up to ~256 chars — every normalized label).

@@ -63,6 +63,15 @@ def block_pairs(
     return a.join(b, cond)
 
 
+def with_partition_id(df: DataFrame, col: str = "partition_id") -> DataFrame:
+    """Tag each row with its physical partition id
+    (``blocking/blocksplit/TuplePartitionIdMapper.java`` — the block-split
+    load-statistics input). ``spark_partition_id()`` is evaluated where the
+    row physically lives, exactly like the reference's
+    ``getRuntimeContext().getIndexOfThisSubtask()``."""
+    return df.withColumn(col, F.spark_partition_id())
+
+
 def salted_block_pairs(
     records: DataFrame,
     block_col: str = "block_key",

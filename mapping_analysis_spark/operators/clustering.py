@@ -94,7 +94,8 @@ def connected_components(
     union-find — cheaper than the 5-8 distributed rounds the same set costs
     (each round is 2 jobs + a lineage cut; measured ~12 s of fixed per-job
     latency at sf2.0). Parity between the two paths at realistic size is
-    pinned by ``tests/test_pipeline_batch.py::test_distributed_cc_parity``.
+    pinned by
+    ``tests/test_pipeline_batch.py::test_distributed_cc_parity_at_scale``.
     """
     dtype = dict(zip(edges.schema.names, edges.schema.fields))[src].dataType
     out_schema = StructType(

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 
 def remove_intra_source_links(
@@ -231,6 +232,8 @@ def fabricate_edges(vertices: DataFrame, n: int, id_col: str = "rid", seed: int 
     (TakeOrderedAndProject — per-partition top-k then a 2n-row driver merge),
     NOT a global row_number window: an unpartitioned window is a single-task
     total sort, quadratic death at 10^12 vertices."""
+    id_type = vertices.schema[id_col].dataType
+    schema = StructType([StructField("a", id_type), StructField("b", id_type)])
     picked = [
         r[0]
         for r in vertices.select(F.col(id_col).alias("v"))
@@ -239,13 +242,25 @@ def fabricate_edges(vertices: DataFrame, n: int, id_col: str = "rid", seed: int 
         .collect()
     ]
     if len(picked) < 2:
-        return vertices.sparkSession.createDataFrame([], "a string, b string")
-    pairs = [
-        (picked[(2 * i) % len(picked)], picked[(2 * i + 1) % len(picked)])
-        for i in range(n)
-    ]
-    pairs = [(a, b) for a, b in pairs if a != b]
-    return vertices.sparkSession.createDataFrame(pairs, ["a", "b"]).dropDuplicates()
+        return vertices.sparkSession.createDataFrame([], schema)
+    # walk pair offsets until n distinct (a != b) edges are collected (or the
+    # pool is exhausted) — the naive 2i/2i+1 pairing can silently under-fill
+    # after the self-pair filter + dedup when the vertex pool is small
+    pairs: list = []
+    seen: set = set()
+    i = 0
+    max_pairs = len(picked) * (len(picked) - 1) // 2
+    budget = 4 * n + len(picked) * len(picked)
+    while len(pairs) < min(n, max_pairs) and i < budget:
+        a = picked[(2 * i) % len(picked)]
+        b = picked[(2 * i + 1 + i // len(picked)) % len(picked)]
+        i += 1
+        key = (a, b) if a <= b else (b, a)
+        if a == b or key in seen:
+            continue
+        seen.add(key)
+        pairs.append((a, b))
+    return vertices.sparkSession.createDataFrame(pairs, schema)
 
 
 def representative_edges(

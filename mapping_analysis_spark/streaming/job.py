@@ -193,7 +193,11 @@ class IncrementalClusteringJob:
             batch_df.select("conv_id").distinct().localCheckpoint(eager=True)
         )
         affected_r = affected.withColumnRenamed("conv_id", "rid")
-        old_recs = self.records.read_for(affected_r)  # pre-upsert snapshot
+        # pre-upsert snapshot, version-pinned: replay after a mid-batch crash
+        # (records committed, posting-list deltas not yet) must still see the
+        # PRE-batch records or del_post/del_bands/dn derive empty — the
+        # pinned read is a no-op on the original run
+        old_recs = self.records.read_for(affected_r, before_batch=batch_id)
         if old_recs is not None:
             old_recs = old_recs.localCheckpoint(eager=True)
         self.turns.upsert(batch_df, ["conv_id", "turn_idx"], batch_id)
@@ -259,7 +263,7 @@ class IncrementalClusteringJob:
             .select("bk", "dn")
             .localCheckpoint(eager=True)
         )
-        old_sz = self.block_sizes.read_for(dn.select("bk"))
+        old_sz = self.block_sizes.read_for(dn.select("bk"), before_batch=batch_id)
         if old_sz is None:
             old_sz = self._empty("bk string, n long")
         sized = (
@@ -379,7 +383,9 @@ class IncrementalClusteringJob:
 
         # incident edges of the re-derive set: doubled storage → one pruned
         # bucket read covers both endpoint directions
-        old_inc_d = self.edges.read_for(a_ids.withColumnRenamed("rid", "u"))
+        old_inc_d = self.edges.read_for(
+            a_ids.withColumnRenamed("rid", "u"), before_batch=batch_id
+        )
         if old_inc_d is None:
             old_inc_d = self._empty("u string, v string")
         old_inc = self._canon(old_inc_d)
@@ -399,10 +405,12 @@ class IncrementalClusteringJob:
             .distinct()
             .localCheckpoint(eager=True)
         )
-        old_nc = self.node_comp.read_for(dirty_nodes)
+        old_nc = self.node_comp.read_for(dirty_nodes, before_batch=batch_id)
         if old_nc is not None:
             dirty_comp_ids = old_nc.select("comp").distinct()
-            dirty_members = self.comp_members.read_for(dirty_comp_ids)
+            dirty_members = self.comp_members.read_for(
+                dirty_comp_ids, before_batch=batch_id
+            )
         else:
             dirty_members = None
         if dirty_members is None:

@@ -145,13 +145,26 @@ class SnapshotStateTable:
         buckets: list[int] | None = None,
         keys_df: DataFrame | None = None,
         keep_bucket: bool = False,
+        before_batch: int | None = None,
+        keep_meta: bool = False,
     ) -> DataFrame | None:
         """Latest-batch-wins per key across base + deltas; tombstones drop.
 
         ``buckets`` prunes partition directories; ``keys_df`` (columns =
         ``bucket_by``) additionally semi-join-filters to the requested keys
         before the merge-on-read window — both keep the resolve O(touched
-        state) instead of O(total state)."""
+        state) instead of O(total state).
+
+        ``before_batch`` pins the read to the state as of BEFORE that batch
+        (rows stamped ``_BATCH < before_batch``) — the Iceberg
+        snapshot-as-of analogue. Used for pre-commit snapshot reads inside a
+        batch: a no-op on the original run (the table holds nothing from the
+        in-flight batch yet) and exactly the pre-batch state under replay
+        after a mid-batch crash. Requires compaction to preserve original
+        ``_BATCH`` stamps (it does — see ``apply_delta``).
+
+        ``keep_meta`` keeps the ``_OP``/``_BATCH``/``_BUCKET`` columns in
+        the output (compaction needs the original stamps)."""
         if not dirs:
             return None
         # start from the newest base — older history is fully folded into it
@@ -172,6 +185,8 @@ class SnapshotStateTable:
             # pure-delete deltas carry only key columns — value columns fill
             # with nulls and never surface (tombstones lose the window race)
             df = df.unionByName(p, allowMissingColumns=True)
+        if before_batch is not None:
+            df = df.filter(F.col(_BATCH) < F.lit(before_batch))
         if buckets is not None and _BUCKET in df.columns:
             df = df.filter(F.col(_BUCKET).isin(buckets))  # partition pruning
         if keys_df is not None:
@@ -184,7 +199,7 @@ class SnapshotStateTable:
             self.scan_stats["read_rows"] += df.count()
             self.scan_stats["read_calls"] += 1
         keys = [c for c in df.columns if c.startswith("_k_")]
-        drop = {_OP, _BATCH} | (set() if keep_bucket else {_BUCKET})
+        drop = set() if keep_meta else ({_OP, _BATCH} | (set() if keep_bucket else {_BUCKET}))
         w_cols = [c for c in df.columns if c not in drop]
         if not keys:
             # keyless (full-snapshot) table: the newest base IS the state;
@@ -215,12 +230,19 @@ class SnapshotStateTable:
         out = self._resolve(self._committed_dirs())
         return None if out is None else self._unprefix(out)
 
-    def read_for(self, keys_df: DataFrame) -> DataFrame | None:
+    def read_for(
+        self, keys_df: DataFrame, before_batch: int | None = None
+    ) -> DataFrame | None:
         """Pruned state read: only rows whose ``bucket_by`` key appears in
         ``keys_df`` (whose columns must be exactly ``bucket_by``). Partition
         pruning limits the scan to touched buckets; the broadcast semi-join
         limits resolved rows to the requested keys — per-batch read cost is
-        O(keys touched), independent of total state size."""
+        O(keys touched), independent of total state size.
+
+        ``before_batch=b`` pins to the pre-batch-``b`` snapshot — REQUIRED
+        for every read whose result feeds deltas committed later in the same
+        batch (replay after a mid-batch crash would otherwise see the
+        already-committed post-state and derive empty/doubled deltas)."""
         assert self.bucket_by, "read_for requires a bucket_by declaration"
         ids = [
             r[0]
@@ -232,7 +254,9 @@ class SnapshotStateTable:
         ]
         if not ids:
             return None
-        out = self._resolve(self._committed_dirs(), buckets=ids, keys_df=keys_df)
+        out = self._resolve(
+            self._committed_dirs(), buckets=ids, keys_df=keys_df, before_batch=before_batch
+        )
         return None if out is None else self._unprefix(out)
 
     # -- writes ---------------------------------------------------------------
@@ -278,22 +302,25 @@ class SnapshotStateTable:
         if n_deltas + 1 >= self.compact_every:
             # fold history + this delta into a fresh base snapshot
             # (Iceberg rewrite_data_files) — the amortized O(state)
-            # maintenance write, accounted under compact_rows
+            # maintenance write, accounted under compact_rows.
+            #
+            # The base preserves ORIGINAL _BATCH stamps and keeps this
+            # batch's delta rows (incl. tombstones) alongside the pre-batch
+            # state: merge-on-read still picks the latest row per key, and a
+            # version-pinned read (_BATCH < batch_id) recovers the exact
+            # pre-batch snapshot — required for crash/replay correctness of
+            # pre-commit snapshot reads (see read_for). The retained
+            # pre-images (one per key touched this batch) fold away at the
+            # next compaction.
             track, self.track_scans = self.track_scans, False
-            cur = self._resolve(dirs, keep_bucket=True)
+            prev = self._resolve(dirs, keep_bucket=True, keep_meta=True)
             self.track_scans = track
-            if cur is not None and self.track_scans:
-                self.scan_stats["compact_rows"] += cur.count()
-            if cur is None:
-                base = delta.filter(F.col(_OP) == "u")
+            if prev is not None and self.track_scans:
+                self.scan_stats["compact_rows"] += prev.count()
+            if prev is None:
+                base = delta
             else:
-                keyed_cols = [f"_k_{k}" for k in keys]
-                survivors = cur.join(
-                    delta.select(*keyed_cols).dropDuplicates(), keyed_cols, "left_anti"
-                )
-                base = survivors.withColumn(_OP, F.lit("u")).withColumn(
-                    _BATCH, F.lit(batch_id)
-                ).unionByName(delta.filter(F.col(_OP) == "u"), allowMissingColumns=True)
+                base = prev.unionByName(delta, allowMissingColumns=True)
             self._atomic_write(base, self._dir("b", batch_id))
         else:
             self._atomic_write(delta, self._dir("d", batch_id))
@@ -362,9 +389,15 @@ class IcebergStateTable:
       (the stand-in's ``_bucket`` hive partitioning);
     * ``apply_delta`` — one ``MERGE INTO`` with ``WHEN MATCHED [AND _op='d']
       THEN DELETE / UPDATE`` + ``WHEN NOT MATCHED AND _op='u' THEN INSERT``
-      (the stand-in's tombstoned delta dirs); exactly-once via a
-      ``_batch_id`` watermark row checked before merging (the stand-in's
-      ``_SUCCESS``-gated idempotence);
+      (the stand-in's tombstoned delta dirs); per-batch idempotence via a
+      ``last_merged_batch`` table property checked before merging (the
+      stand-in's ``_SUCCESS``-gated skip): ``apply_delta`` returns early
+      when ``batch_id <= last_merged_batch``. The MERGE and the property
+      update are two Iceberg commits, so a crash between them replays the
+      MERGE — which is row-idempotent for an identical delta (matched
+      upserts re-set the same values, matched deletes are already gone);
+      deriving the *identical* delta on replay is the caller's job (the
+      streaming kernel's version-pinned pre-commit reads);
     * ``read_for`` — a join on the key prefix; Iceberg prunes to the
       bucket partitions exactly as the stand-in's directory filter does;
     * compaction/prune — ``CALL system.rewrite_data_files`` /
@@ -428,6 +461,15 @@ class IcebergStateTable:
     def compact_sql(self) -> str:
         return f"CALL system.rewrite_data_files(table => '{self.table}')"
 
+    def watermark_read_sql(self) -> str:
+        return f"SHOW TBLPROPERTIES {self.table} ('last_merged_batch')"
+
+    def watermark_set_sql(self, batch_id: int) -> str:
+        return (
+            f"ALTER TABLE {self.table} SET TBLPROPERTIES "
+            f"('last_merged_batch'='{int(batch_id)}')"
+        )
+
     # -- execution (requires the Iceberg runtime) ----------------------------
 
     def _require(self) -> None:
@@ -436,8 +478,29 @@ class IcebergStateTable:
                 "Iceberg runtime not on the classpath — use SnapshotStateTable"
             )
 
+    def last_merged_batch(self) -> int | None:
+        """Current watermark, or None when never merged."""
+        self._require()
+        try:
+            rows = self.spark.sql(self.watermark_read_sql()).collect()
+        except Exception:
+            return None
+        for r in rows:
+            if r["key"] == "last_merged_batch":
+                try:
+                    return int(r["value"])
+                except (TypeError, ValueError):
+                    return None
+        return None
+
+    def committed(self, batch_id: int) -> bool:
+        wm = self.last_merged_batch()
+        return wm is not None and batch_id <= wm
+
     def apply_delta(self, upserts, deletes, keys: list[str], batch_id: int) -> None:
         self._require()
+        if self.committed(batch_id):
+            return  # replayed batch — exactly-once skip
         parts = []
         if upserts is not None:
             parts.append(upserts.withColumn(_OP, F.lit("u")))
@@ -449,6 +512,7 @@ class IcebergStateTable:
         delta.createOrReplaceTempView("_delta")
         cols = [c for c in delta.columns if c != _OP]
         self.spark.sql(self.merge_sql(keys, cols))
+        self.spark.sql(self.watermark_set_sql(batch_id))
 
     def read(self):
         self._require()

@@ -137,6 +137,12 @@ def test_iceberg_sql_generation(spark):
     assert "WHEN MATCHED AND s._op = 'd' THEN DELETE" in m
     assert "WHEN NOT MATCHED AND s._op = 'u' THEN INSERT (u, v, w)" in m
     assert "rewrite_data_files" in it.compact_sql()
+    # per-batch idempotence watermark (checked by apply_delta before MERGE)
+    assert it.watermark_read_sql() == "SHOW TBLPROPERTIES state.edges ('last_merged_batch')"
+    assert (
+        it.watermark_set_sql(7)
+        == "ALTER TABLE state.edges SET TBLPROPERTIES ('last_merged_batch'='7')"
+    )
     # factory falls back to the parquet stand-in without the runtime
     import tempfile
 
