@@ -303,10 +303,12 @@ def q_conv_max_both(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocked Jaccard pairs >= threshold."""
     from mapping_analysis_spark.operators.matching import max_both
 
-    pairs = _blocked_pairs(spark, sf_dir, ["toks"])
-    scored = pairs.select(
-        "a_rid", "b_rid", token_set_jaccard(F.col("a_toks"), F.col("b_toks")).alias("sim")
-    ).filter(F.col("sim") >= DEFAULT_THRESHOLD)
+    scored = (
+        _keyed_scored_pairs(spark, sf_dir)
+        .dropDuplicates(["a_rid", "b_rid"])
+        .select("a_rid", "b_rid", "sim")
+        .filter(F.col("sim") >= DEFAULT_THRESHOLD)
+    )
     return max_both(scored).select("a_rid", "b_rid", sim_e6(F.col("sim")).alias("sim_e6"))
 
 
@@ -341,11 +343,11 @@ def q_conv_dedup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _DEDUP_ASSIGN_CACHE.get(key)
     if cached is not None:
         return cached
-    pairs = _blocked_pairs(spark, sf_dir, ["toks"])
     edges = (
-        pairs.withColumn("sim", token_set_jaccard(F.col("a_toks"), F.col("b_toks")))
+        _keyed_scored_pairs(spark, sf_dir)
         .filter(F.col("sim") >= DEFAULT_THRESHOLD)
         .select(F.col("a_rid").alias("a"), F.col("b_rid").alias("b"))
+        .dropDuplicates(["a", "b"])
         .localCheckpoint(eager=True)
     )
     comp = connected_components(edges)

@@ -111,27 +111,88 @@ def _simmetrics_cosine(ta, la: int, tb, lb: int) -> float:
 @F.pandas_udf(DoubleType())
 def trigram_cosine_simmetrics(a: pd.Series, b: pd.Series) -> pd.Series:
     """Arrow-batched simmetrics trigram cosine over already-simplified
-    strings. Unique-string memoization: MusicBrainz labels repeat across
-    many candidate pairs, so the per-batch trigram tables are built once per
-    distinct string."""
+    strings — vectorized like ``functions.simfns.trigram_cosine`` but with
+    the min-sum intersection and total-count norms of simmetrics 4.0.1.
+
+    ASCII pairs take the numpy path (per-unique trigram tables via
+    ``_trigram_table``, one sorted-key intersection per batch, min() of the
+    two count columns, norms = trigram totals = len+2); pairs touching a
+    non-ASCII string (accents are KEPT by the music simplify) fall back to
+    the exact Counter math — identical results, pinned by
+    ``tests/test_musicbrainz.py::test_simmetrics_kernel_paths_agree``."""
+    import numpy as np
+
+    from mapping_analysis_spark.functions.simfns import _trigram_table
+
+    n = len(a)
+    out = np.zeros(n, dtype=np.float64)
+    if n == 0:
+        return pd.Series(out)
+    av = a.to_numpy(dtype=object)
+    bv = b.to_numpy(dtype=object)
+    valid = np.fromiter(
+        (
+            x is not None and y is not None and x != "" and y != ""
+            and x.isascii() and y.isascii()
+            for x, y in zip(av, bv)
+        ),
+        dtype=bool,
+        count=n,
+    )
     tri: dict = {}
-
-    def tab(s):
-        t = tri.get(s)
-        if t is None:
-            c = _trigrams(s)
-            t = (c, sum(c.values()))
-            tri[s] = t
-        return t
-
-    out = []
-    for x, y in zip(a, b):
+    for i in np.flatnonzero(~valid):
+        x, y = av[i], bv[i]
         if x is None or y is None or x == "" or y == "":
-            out.append(0.0)
             continue
-        ta, la = tab(x)
-        tb, lb = tab(y)
-        out.append(_simmetrics_cosine(ta, la, tb, lb))
+        for s in (x, y):
+            if s not in tri:
+                c = _trigrams(s)
+                tri[s] = (c, sum(c.values()))
+        ta, la = tri[x]
+        tb, lb = tri[y]
+        out[i] = _simmetrics_cosine(ta, la, tb, lb)
+    idx = np.flatnonzero(valid)
+    if len(idx) == 0:
+        return pd.Series(out)
+    ua, ia = np.unique(av[idx].astype(str), return_inverse=True)
+    ub, ib = np.unique(bv[idx].astype(str), return_inverse=True)
+    pa, ca_codes, ca_counts, _ = _trigram_table(list(ua))
+    pb, cb_codes, cb_counts, _ = _trigram_table(list(ub))
+    # simmetrics norms are TOTAL trigram counts: padded length − 2 = len + 2
+    la = np.fromiter((len(s) + 2 for s in ua), dtype=np.int64, count=len(ua))
+    lb = np.fromiter((len(s) + 2 for s in ub), dtype=np.int64, count=len(ub))
+
+    def expand(indptr, codes, counts, inv):
+        seg = indptr[inv + 1] - indptr[inv]
+        row = np.repeat(np.arange(len(inv), dtype=np.int64), seg)
+        ofs = np.arange(seg.sum(), dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(seg)[:-1])), seg
+        )
+        pos = np.repeat(indptr[inv], seg) + ofs
+        return (row << 24) | codes[pos], counts[pos]
+
+    ka, wa = expand(pa, ca_codes, ca_counts, ia)
+    kb, wb = expand(pb, cb_codes, cb_counts, ib)
+    dots = np.zeros(len(idx), dtype=np.int64)
+    if len(ka) and len(kb):
+        pos = np.searchsorted(ka, kb)
+        pos[pos == len(ka)] = 0
+        hit = ka[pos] == kb
+        dots = np.bincount(
+            kb[hit] >> 24,
+            weights=np.minimum(wa[pos[hit]], wb[hit]).astype(np.float64),
+            minlength=len(idx),
+        ).astype(np.int64)
+    # Java computes in double then casts to float; match: double division,
+    # THEN float32, then 6-dp HALF_UP
+    # sqrt(la) * sqrt(lb), NOT sqrt(la*lb) — mirrors the Java expression
+    # bit-for-bit (the two differ in the last ulp)
+    resd = dots.astype(np.float64) / (
+        np.sqrt(la[ia].astype(np.float64)) * np.sqrt(lb[ib].astype(np.float64))
+    )
+    res = np.floor(resd.astype(np.float32).astype(np.float64) * 1_000_000 + 0.5) / 1_000_000
+    res[dots == 0] = 0.0
+    out[idx] = res
     return pd.Series(out)
 
 

@@ -49,6 +49,53 @@ def music(spark):
     return {"records": records, "edges": edges, "scored": scored, "reps": reps}
 
 
+def test_simmetrics_kernel_paths_agree(spark):
+    """The vectorized ASCII path of ``trigram_cosine_simmetrics`` must be
+    bit-identical to the exact Counter fallback on real MusicBrainz labels
+    (incl. accented strings, identical pairs, empties, and nulls)."""
+    import pandas as pd
+
+    from mapping_analysis_spark.music import (
+        _simmetrics_cosine,
+        _trigrams,
+        music_records,
+        trigram_cosine_simmetrics,
+    )
+    from pyspark.sql import functions as F
+
+    recs = music_records(spark, MUSIC_CSV).select("ata_norm")
+    vals = [r[0] for r in recs.distinct().orderBy("ata_norm").limit(600).collect()]
+    accented = [
+        r[0]
+        for r in recs.filter(~F.col("ata_norm").rlike("^[\\x00-\\x7F]*$"))
+        .distinct()
+        .orderBy("ata_norm")
+        .limit(50)
+        .collect()
+    ]
+    rot = vals[1:] + vals[:1]
+    xs = vals + vals[:50] + accented + [vals[0], "", None, vals[1]]
+    ys = rot + vals[:50] + list(reversed(accented)) + ["", vals[0], vals[1], None]
+
+    def exact(x, y):
+        if x is None or y is None or x == "" or y == "":
+            return 0.0
+        ca, cb = _trigrams(x), _trigrams(y)
+        return _simmetrics_cosine(ca, sum(ca.values()), cb, sum(cb.values()))
+
+    expected = [exact(x, y) for x, y in zip(xs, ys)]
+    got = trigram_cosine_simmetrics.func(pd.Series(xs), pd.Series(ys)).tolist()
+    assert got == expected
+    # identical non-empty strings score ~1.0 (sqrt(n)*sqrt(n) != n in float,
+    # same as the reference's Java expression — hence not exactly 1.0)
+    ident = [
+        g
+        for g, v in zip(got[len(vals) : len(vals) + 50], vals[:50])
+        if v  # empty ata -> 0.0 by definition
+    ]
+    assert ident and all(abs(g - 1.0) <= 2e-6 for g in ident)
+
+
 def test_music_input_graph_matches_reference(music):
     """MusicBrainzTest.java:58-64: 19,375 vertices, 9,375 SIMPLE edges."""
     assert music["records"].count() == 19375
