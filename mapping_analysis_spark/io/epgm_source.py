@@ -30,7 +30,7 @@ _PROP_ALIASES = {
     "album": ["suburb", "album"],
     "artist": ["name", "artist"],
     "number": ["postcod", "number"],
-    "source": ["type"],
+    "source": ["type", "dataSource"],
     "artist_title_album": ["field"],  # "alieh data"
     "lat": ["lat"],
     "lon": ["lon"],
@@ -69,13 +69,17 @@ def read_epgm_graph(
     )
     # NC rec ids look like "rec-123-org" / "rec-123-dup-0" — digits embed the
     # numeric id (Utils.getIdFromNcId); GEO recIds are plain longs
+    # plain numeric vertex ids (e.g. the nc/csimq fixture, already a Gelly
+    # graph: JSONDataSource(graphPath, true).getGraph) pass through as-is;
+    # Gradoop hex ids hash
+    plain_id = F.expr("try_cast(id as long)")
     rid = F.when(
         rec_id.isNotNull(),
         F.coalesce(
             F.regexp_extract(rec_id, r"(\d+)", 1).cast("long"),
             F.xxhash64(rec_id),
         ),
-    ).otherwise(F.xxhash64(F.col("id")))
+    ).otherwise(F.coalesce(plain_id, F.xxhash64(F.col("id"))))
     sel = [rid.alias("rid"), F.col("id").alias("_gid")]
     for out_name, aliases in _PROP_ALIASES.items():
         sel.append(_first_present(data_cols, aliases).alias(out_name))

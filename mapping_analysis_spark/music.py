@@ -251,7 +251,7 @@ def music_components(records: DataFrame, scored: DataFrame) -> DataFrame:
         scored.select("a", "b", "sim"),
         pre.select(F.col("rid").alias("node"), "comp"),
         threshold=SIMSORT_THRESHOLD,
-    ).select(F.col("node").alias("rid"), "comp")
+    ).select(F.col("node").alias("rid"), "comp", "evicted")
     return merge_initialization(
         pre, post, scored.select("a", "b", "sim"), id_col="rid", comp_col="comp",
         threshold=REJOIN_THRESHOLD,

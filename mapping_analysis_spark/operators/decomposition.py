@@ -168,18 +168,28 @@ def sim_sort(
 ) -> DataFrame:
     """Evict weak vertices from components until all remaining members have a
     mean intra-component edge sim >= threshold. Evicted vertices become
-    singletons (their id as component), mirroring SimSort's deactivation
-    hash (``SimSortComputeFunction.java:26-109``); per superstep only the
-    locally weakest vertex per component is evicted, like the reference's
-    "no neighbor is lower" rule.
-    """
-    comp = components.localCheckpoint(eager=True)
+    singletons, mirroring SimSort's deactivation hash
+    (``SimSortComputeFunction.java:26-109``, ``hash(id + "false")`` — a value
+    DISTINCT from every live component hash); per superstep only the locally
+    weakest vertex per component is evicted, like the reference's "no
+    neighbor is lower" rule.
+
+    Output: (id_col, comp_col, evicted). Survivor components are relabeled
+    to their min *surviving* member id and evicted vertices carry their own
+    id — the two label sets are disjoint (a vertex is either evicted or
+    surviving), so grouping by comp can never merge an evicted vertex back
+    into the component that evicted it (the reference's distinct-hash
+    property; a plain comp := id relabel collides when the evicted vertex IS
+    the component's min member, silently re-merging — pinned by
+    ``tests/test_nc_csimq.py::test_nc_csimq_simsort_evicts_at_070``)."""
+    comp = components.withColumn("_ev", F.lit(False)).localCheckpoint(eager=True)
     for _ in range(max_iter):
+        live = comp.filter(~F.col("_ev"))
         e = (
             scored_edges.join(
-                comp.select(F.col(id_col).alias("a"), F.col(comp_col).alias("_ca")), "a"
+                live.select(F.col(id_col).alias("a"), F.col(comp_col).alias("_ca")), "a"
             )
-            .join(comp.select(F.col(id_col).alias("b"), F.col(comp_col).alias("_cb")), "b")
+            .join(live.select(F.col(id_col).alias("b"), F.col(comp_col).alias("_cb")), "b")
             .filter(F.col("_ca") == F.col("_cb"))
         )
         per_vertex = (
@@ -200,10 +210,20 @@ def sim_sort(
             break
         comp = (
             comp.join(evict.withColumn("_e", F.lit(1)), id_col, "left")
-            .withColumn(
-                comp_col, F.when(F.col("_e").isNotNull(), F.col(id_col)).otherwise(F.col(comp_col))
-            )
+            .withColumn("_ev", F.col("_ev") | F.col("_e").isNotNull())
             .drop("_e")
             .localCheckpoint(eager=True)
         )
-    return comp
+    surv = (
+        comp.filter(~F.col("_ev"))
+        .groupBy(comp_col)
+        .agg(F.min(id_col).alias("_newc"))
+    )
+    return (
+        comp.join(surv, comp_col, "left")
+        .withColumn(
+            comp_col,
+            F.when(F.col("_ev"), F.col(id_col)).otherwise(F.col("_newc")),
+        )
+        .select(id_col, comp_col, F.col("_ev").alias("evicted"))
+    )

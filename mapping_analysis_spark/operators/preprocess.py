@@ -164,26 +164,38 @@ def merge_initialization(
     (reducing merge-step complexity). Returns refreshed (id_col, comp_col).
     """
     pre = pre_split.select(F.col(id_col), F.col(comp_col).alias("_old"))
+    has_ev = "evicted" in post_split.columns
     post = post_split.select(id_col, comp_col)
-    both = post.join(pre, id_col)
-    singles = both.filter(
-        (F.col(comp_col) == F.col(id_col)) & (F.col("_old") != F.col(id_col))
-    ).select(id_col, "_old")
+    if has_ev:
+        # sim_sort marks evictions explicitly (collision-free labels)
+        both = post_split.select(id_col, comp_col, "evicted").join(pre, id_col)
+        singles = both.filter(F.col("evicted")).select(id_col, "_old")
+        survivors = both.filter(~F.col("evicted"))
+    else:
+        both = post.join(pre, id_col)
+        singles = both.filter(
+            (F.col(comp_col) == F.col(id_col)) & (F.col("_old") != F.col(id_col))
+        ).select(id_col, "_old")
+        survivors = both.filter(F.col(comp_col) != F.col(id_col))
     sym = scored_edges.select(
         F.col("a").alias(id_col), F.col("b").alias("_nbr"), F.col(sim_col)
     ).union(
         scored_edges.select(F.col("b").alias(id_col), F.col("a").alias("_nbr"), F.col(sim_col))
     )
-    # best edge from the singleton back into its old component
-    old_members = both.filter(F.col(comp_col) != F.col(id_col)).select(
-        F.col(id_col).alias("_nbr"), F.col("_old").alias("_nbr_old")
+    # best edge from the singleton back into its old component; the rejoin
+    # target is the surviving members' CURRENT comp label (sim_sort may have
+    # relabeled the component to its min surviving member)
+    old_members = survivors.select(
+        F.col(id_col).alias("_nbr"),
+        F.col("_old").alias("_nbr_old"),
+        F.col(comp_col).alias("_nbr_new"),
     )
     rejoin = (
         singles.join(sym, id_col)
         .join(old_members, "_nbr")
         .filter((F.col("_old") == F.col("_nbr_old")) & (F.col(sim_col) >= threshold))
         .groupBy(id_col)
-        .agg(F.min("_old").alias("_rejoin"))
+        .agg(F.min("_nbr_new").alias("_rejoin"))
     )
     return (
         post.join(rejoin, id_col, "left")

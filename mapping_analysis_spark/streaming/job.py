@@ -135,9 +135,12 @@ class IncrementalClusteringJob:
         self.comp_members = tbl("comp_members", ["comp"])
         self.assignments = tbl("assignments", ["conv_id"])
         self.metrics_path = os.path.join(state_dir, "metrics.jsonl")
+        self.state_buckets = state_buckets
         # full-table counts are O(state) maintenance observation — sampled,
         # 0 disables (default: per-batch metrics must stay O(batch))
         self.state_metrics_every = 0
+        # history pruning is pure-filesystem maintenance — amortized
+        self.prune_every = 4
 
     @property
     def _tables(self) -> list[SnapshotStateTable]:
@@ -165,43 +168,80 @@ class IncrementalClusteringJob:
     # -- per-batch kernel ---------------------------------------------------
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """One micro-batch. Driver-overhead budget (What's wrong #3, round 3):
+
+        * intra-batch ``localCheckpoint``s are LAZY — each materializes as a
+          side effect of its first consuming action (a state write or a
+          bucket-id job) instead of costing a dedicated eager job; laziness
+          is safe because every pruned read captures its directory list at
+          call time, mid-batch commits only ADD directories, and history
+          pruning runs after the batch;
+        * the row-count and lineage-sample actions fuse into one ``agg``;
+        * reads over the same (or a subset of the same) key values share one
+          bucket-id job (``read_for(buckets=...)`` — bucket ids depend only
+          on key values and the bucket count, identical across tables);
+        * empty batches commit marker deltas with zero Spark jobs;
+        * history pruning runs every ``prune_every`` batches.
+
+        ``metrics.jsonl`` records ``spark_jobs`` per batch (scoped job
+        group), so the fixed driver cost is observable per micro-batch."""
         t0 = time.time()
+        sc = self.spark.sparkContext
+        group = self._job_counter()
+        sc.setJobGroup(f"microbatch-{batch_id}", f"incremental clustering micro-batch {batch_id}")
         if self.assignments.committed(batch_id):
             self._log(batch_id, 0, t0, replayed=True)
             return  # exactly-once: replay after restart is a no-op
 
-        # per-partition lineage: physical files feeding this micro-batch
-        input_files = [
-            r[0]
-            for r in batch_df.select(F.input_file_name()).distinct().limit(20).collect()
-            if r[0]
-        ]
-        batch_df = batch_df.dropDuplicates(["conv_id", "turn_idx"]).localCheckpoint(
-            eager=True
+        _prof = os.environ.get("SPARK_GRAFT_BATCH_PROFILE") == "1"
+        _marks: list = [("start", time.time(), group)]
+
+        def _mark(name: str) -> None:
+            if _prof:
+                _marks.append((name, time.time(), self._job_counter()))
+
+        batch_df = (
+            batch_df.withColumn("_file", F.input_file_name())
+            .dropDuplicates(["conv_id", "turn_idx"])
+            .localCheckpoint(eager=True)  # streaming source: consume in-call
         )
-        n_rows = batch_df.count()
+        # one fused job: row count + per-partition lineage sample
+        head = batch_df.agg(
+            F.count("*").alias("n"),
+            F.slice(F.array_sort(F.collect_set("_file")), 1, 20).alias("files"),
+        ).collect()[0]
+        n_rows = int(head["n"])
+        input_files = [f for f in head["files"] if f]
+        batch_df = batch_df.drop("_file")
+        _mark("head")
         if n_rows == 0:
             # empty deltas keep replay detection monotonic at zero data cost
             for st in self._tables:
                 st.commit_unchanged(batch_id)
-            self._log(batch_id, 0, t0)
+            self._log(batch_id, 0, t0, group=group)
             return
 
         # 1-2. turn state + affected conversations (pruned read: only the
-        # buckets holding the affected conversations are scanned)
+        # buckets holding the affected conversations are scanned; turns and
+        # records share the bucket-id job — same key values)
         affected = (
-            batch_df.select("conv_id").distinct().localCheckpoint(eager=True)
+            batch_df.select("conv_id").distinct().localCheckpoint(eager=False)
         )
         affected_r = affected.withColumnRenamed("conv_id", "rid")
+        aff_buckets = self.turns.bucket_ids_for(affected)
         # pre-upsert snapshot, version-pinned: replay after a mid-batch crash
         # (records committed, posting-list deltas not yet) must still see the
         # PRE-batch records or del_post/del_bands/dn derive empty — the
         # pinned read is a no-op on the original run
-        old_recs = self.records.read_for(affected_r, before_batch=batch_id)
+        old_recs = self.records.read_for(
+            affected_r, before_batch=batch_id, buckets=aff_buckets
+        )
         if old_recs is not None:
-            old_recs = old_recs.localCheckpoint(eager=True)
+            old_recs = old_recs.localCheckpoint(eager=False)
+        _mark("old_recs_read")
         self.turns.upsert(batch_df, ["conv_id", "turn_idx"], batch_id)
-        turns_aff = self.turns.read_for(affected)
+        _mark("turns_upsert")
+        turns_aff = self.turns.read_for(affected, buckets=aff_buckets)
 
         # 3. re-derive records for affected conversations only — identical
         # featurization to the batch pipeline (featurize_records), plus the
@@ -221,9 +261,10 @@ class IncrementalClusteringJob:
                 ),
             )
             .select("rid", "source", "bks", "toks", "bands")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         self.records.upsert(recs_full, ["rid"], batch_id)
+        _mark("records_upsert")
 
         # 3b. posting-list deltas (blocks, bands) + INCREMENTAL block sizes
         new_post = recs_full.select("rid", F.explode("bks").alias("bk"))
@@ -238,6 +279,7 @@ class IncrementalClusteringJob:
             old_bands = self._empty("rid string, band_idx int, band_hash long")
         del_post = old_post.join(new_post, ["bk", "rid"], "left_anti")
         self.blocks.apply_delta(new_post, del_post, ["bk", "rid"], batch_id)
+        _mark("blocks_delta")
 
         new_bands = recs_full.select(
             "rid", F.posexplode("bands").alias("band_idx", "band_hash")
@@ -248,6 +290,7 @@ class IncrementalClusteringJob:
         self.bands.apply_delta(
             new_bands, del_bands, ["band_idx", "band_hash", "rid"], batch_id
         )
+        _mark("bands_delta")
 
         # block sizes: old + delta, only for blocks whose membership changed —
         # never re-aggregated over the full records state
@@ -261,7 +304,7 @@ class IncrementalClusteringJob:
             .fillna({"n_add": 0, "n_del": 0})
             .withColumn("dn", F.col("n_add") - F.col("n_del"))
             .select("bk", "dn")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         old_sz = self.block_sizes.read_for(dn.select("bk"), before_batch=batch_id)
         if old_sz is None:
@@ -271,7 +314,7 @@ class IncrementalClusteringJob:
             .fillna({"n": 0})
             .withColumn("n_new", F.col("n") + F.col("dn"))
             .withColumnRenamed("n", "n_old")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         self.block_sizes.apply_delta(
             sized.filter(F.col("n_new") > 0).select(
@@ -281,6 +324,7 @@ class IncrementalClusteringJob:
             ["bk"],
             batch_id,
         )
+        _mark("block_sizes_delta")
 
         # 4a. cap-crossing detection: when a block's size crosses
         # max_block_size (either direction), every member's edge set must be
@@ -299,25 +343,30 @@ class IncrementalClusteringJob:
             .join(F.broadcast(affected_r), "rid", "left_anti")
         )
         a_ids = (
-            affected_r.union(extra).distinct().localCheckpoint(eager=True)
+            affected_r.union(extra).distinct().localCheckpoint(eager=False)
         )
+        # shared by the records read here and the incident-edge read below
+        a_buckets = self.records.bucket_ids_for(a_ids)
 
         # featurized rows for the full re-derive set (post-upsert state)
-        recs_a = self.records.read_for(a_ids)
-        recs_a = recs_a.localCheckpoint(eager=True)
+        recs_a = self.records.read_for(a_ids, buckets=a_buckets)
+        recs_a = recs_a.localCheckpoint(eager=False)
+        _mark("a_ids")
 
         # 4b. candidates touching the re-derive set: prefix blocks ∪ LSH
         # bands, joined against the PRUNED current index (only buckets of the
         # a-side's keys are read), oversized blocks excluded on both sides
         a_post = recs_a.select("rid", F.explode("bks").alias("bk"))
         a_bks = a_post.select("bk").distinct()
-        sz_a = self.block_sizes.read_for(a_bks)
+        # ok_bks ⊆ a_bks, so a_bks's bucket ids cover both block reads
+        bk_buckets = self.block_sizes.bucket_ids_for(a_bks)
+        sz_a = self.block_sizes.read_for(a_bks, buckets=bk_buckets)
         if sz_a is None:
             sz_a = self._empty("bk string, n long")
         ok_bks = sz_a.filter(F.col("n") <= cap).select("bk").localCheckpoint(
-            eager=True
+            eager=False
         )
-        b_post = self.blocks.read_for(ok_bks)
+        b_post = self.blocks.read_for(ok_bks, buckets=bk_buckets)
         if b_post is None:
             b_post = self._empty("bk string, rid string")
         p_block = (
@@ -346,10 +395,11 @@ class IncrementalClusteringJob:
             )
         )
         cand = p_block.union(p_band).dropDuplicates(["a_rid", "b_rid"])
+        _mark("cand_plan")
 
         # 5. verify + replace edges incident to A — payloads come from a
         # pruned read of exactly the candidate rids
-        cand = cand.localCheckpoint(eager=True)
+        cand = cand.localCheckpoint(eager=False)
         cand_rids = (
             cand.select(F.col("a_rid").alias("rid"))
             .union(cand.select(F.col("b_rid").alias("rid")))
@@ -379,12 +429,15 @@ class IncrementalClusteringJob:
             )
             .select(F.col("a_rid").alias("a"), F.col("b_rid").alias("b"))
         )
-        e_new = e_new.dropDuplicates(["a", "b"]).localCheckpoint(eager=True)
+        e_new = e_new.dropDuplicates(["a", "b"]).localCheckpoint(eager=False)
 
         # incident edges of the re-derive set: doubled storage → one pruned
-        # bucket read covers both endpoint directions
+        # bucket read covers both endpoint directions (bucket ids shared
+        # with the records read over the same a_ids values)
         old_inc_d = self.edges.read_for(
-            a_ids.withColumnRenamed("rid", "u"), before_batch=batch_id
+            a_ids.withColumnRenamed("rid", "u"),
+            before_batch=batch_id,
+            buckets=a_buckets,
         )
         if old_inc_d is None:
             old_inc_d = self._empty("u string, v string")
@@ -393,6 +446,7 @@ class IncrementalClusteringJob:
         self.edges.apply_delta(
             self._double(e_new), self._double(removed), ["u", "v"], batch_id
         )
+        _mark("edges_delta")
 
         # 6. dirty-component recompute (scope: full re-derive set + new-edge
         # endpoints — includes cap-crossing block members). comp_members is
@@ -403,7 +457,7 @@ class IncrementalClusteringJob:
             .union(e_new.select(F.col("a").alias("node")))
             .union(e_new.select(F.col("b").alias("node")))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         old_nc = self.node_comp.read_for(dirty_nodes, before_batch=batch_id)
         if old_nc is not None:
@@ -415,26 +469,28 @@ class IncrementalClusteringJob:
             dirty_members = None
         if dirty_members is None:
             dirty_members = self._empty("comp string, node string")
-        dirty_members = dirty_members.localCheckpoint(eager=True)
+        dirty_members = dirty_members.localCheckpoint(eager=False)
         scope = (
             dirty_members.select("node")
             .union(dirty_nodes)
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         sub_d = self.edges.read_for(scope.withColumnRenamed("node", "u"))
         if sub_d is None:
             sub_d = self._empty("u string, v string")
         sub_edges = self._canon(sub_d)
+        _mark("dirty_scope")
         recomputed = connected_components(sub_edges)
         # nodes in scope with no edges → singleton components
         singles = scope.join(
             recomputed.select("node"), "node", "left_anti"
         ).withColumn("comp", F.col("node"))
-        new_part = recomputed.union(singles).localCheckpoint(eager=True)
+        new_part = recomputed.union(singles).localCheckpoint(eager=False)
         # delta commit: only the recomputed (dirty) partition is written —
         # clean components carry over untouched in the state table
         self.node_comp.apply_delta(new_part, None, ["node"], batch_id)
+        _mark("cc_and_nodecomp")
         self.comp_members.apply_delta(
             new_part.select("comp", "node"),
             dirty_members.select("comp", "node"),
@@ -446,10 +502,20 @@ class IncrementalClusteringJob:
         updates = new_part.select(
             F.col("node").alias("conv_id"), F.col("comp").alias("cluster_id")
         )
+        _mark("comp_members_delta")
         self.assignments.upsert(updates, ["conv_id"], batch_id)
-        for st in self._tables:
-            st.prune(keep_last=3)
-        self._log(batch_id, n_rows, t0, input_files=input_files)
+        _mark("assignments")
+        if self.prune_every and batch_id % self.prune_every == self.prune_every - 1:
+            for st in self._tables:
+                st.prune(keep_last=3)
+        _mark("prune")
+        if _prof:
+            spans = [
+                f"{name}={t - _marks[i][1]:.2f}s/{j - _marks[i][2]}j"
+                for i, (name, t, j) in enumerate(_marks[1:])
+            ]
+            print(f"[batch {batch_id}] " + " ".join(spans), flush=True)
+        self._log(batch_id, n_rows, t0, input_files=input_files, group=group)
 
     # -- metrics (north rule: per-partition lineage + throughput per batch) --
 
@@ -462,8 +528,15 @@ class IncrementalClusteringJob:
                 tot[k] += s[k]
         return tot
 
+    def _job_counter(self) -> int | None:
+        """Monotonic count of Spark jobs submitted so far this session."""
+        try:
+            return int(self.spark.sparkContext._jsc.sc().dagScheduler().nextJobId())
+        except Exception:
+            return None
+
     def _log(self, batch_id: int, n_rows: int, t0: float, replayed: bool = False,
-             input_files: list[str] | None = None) -> None:
+             input_files: list[str] | None = None, group: int | None = None) -> None:
         dur = time.time() - t0
         rec = {
             "batch_id": batch_id,
@@ -473,6 +546,14 @@ class IncrementalClusteringJob:
             "replayed": replayed,
             "lineage_files": (input_files or [])[:20],
         }
+        if group is not None:
+            # fixed driver overhead per micro-batch = Spark jobs submitted
+            # during this batch (monotonic DAGScheduler job-id counter delta
+            # — the scoped-job-group tracker misattributes inside foreachBatch
+            # callback threads). What's wrong #3, round 3.
+            jobs = self._job_counter()
+            if jobs is not None and group is not None:
+                rec["spark_jobs"] = jobs - group
         # state-size metrics are full-table counts (O(state) observation) —
         # sampled only when explicitly enabled
         if (

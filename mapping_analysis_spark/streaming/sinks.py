@@ -81,6 +81,11 @@ class SnapshotStateTable:
         self.num_buckets = num_buckets
         self.track_scans = track_scans
         self.scan_stats = {"read_rows": 0, "read_calls": 0, "compact_rows": 0}
+        # superset schema (all value+meta columns) cached after the first
+        # resolve: later reads pass it explicitly, so Spark runs NO
+        # schema-inference job per directory — without it, per-batch driver
+        # jobs grow linearly with the number of un-compacted delta dirs
+        self._schema = None
         os.makedirs(self.root, exist_ok=True)
 
     # -- directory layout ----------------------------------------------------
@@ -172,19 +177,34 @@ class SnapshotStateTable:
             (i for i, (k, _) in enumerate(dirs) if k == "b"), default=None
         )
         live = dirs if base_ix is None else dirs[base_ix:]
-        parts = []
-        for kind, b in live:
-            d = self._dir(kind, b)
-            if not _has_parquet(d):
-                continue  # empty delta (no rows in any bucket) — schema-free
-            parts.append(self.spark.read.parquet(d))
-        if not parts:
+        paths = [
+            self._dir(kind, b)
+            for kind, b in live
+            if _has_parquet(self._dir(kind, b))
+            # empty deltas (no rows in any bucket) are schema-free markers
+        ]
+        if not paths:
             return None
-        df = parts[0]
-        for p in parts[1:]:
-            # pure-delete deltas carry only key columns — value columns fill
-            # with nulls and never surface (tombstones lose the window race)
-            df = df.unionByName(p, allowMissingColumns=True)
+        if self._schema is None:
+            # first resolve: derive the superset schema (pure-delete deltas
+            # carry only key columns — union fills value columns with nulls,
+            # and tombstones lose the window race)
+            parts = [self.spark.read.parquet(p) for p in paths]
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p, allowMissingColumns=True)
+            self._schema = df.schema
+        else:
+            # explicit schema → zero schema-inference jobs regardless of how
+            # many delta dirs are live (per-dir reads keep partition
+            # discovery local to each root; a multi-root read conflicts);
+            # files missing a column read as null
+            parts = [
+                self.spark.read.schema(self._schema).parquet(p) for p in paths
+            ]
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
         if before_batch is not None:
             df = df.filter(F.col(_BATCH) < F.lit(before_batch))
         if buckets is not None and _BUCKET in df.columns:
@@ -230,8 +250,27 @@ class SnapshotStateTable:
         out = self._resolve(self._committed_dirs())
         return None if out is None else self._unprefix(out)
 
+    def bucket_ids_for(self, keys_df: DataFrame) -> list[int]:
+        """Distinct bucket ids of ``keys_df`` (columns = ``bucket_by``) —
+        one small Spark job. Callers holding several reads over the same (or
+        a subset of the same) key values compute this once and pass it to
+        ``read_for(buckets=...)``: the bucket id depends only on the key
+        VALUES and the bucket count, not on the table."""
+        assert self.bucket_by, "bucket_ids_for requires a bucket_by declaration"
+        return [
+            r[0]
+            for r in keys_df.select(
+                self._bucket_expr(self.bucket_by).alias("_b")
+            )
+            .distinct()
+            .collect()
+        ]
+
     def read_for(
-        self, keys_df: DataFrame, before_batch: int | None = None
+        self,
+        keys_df: DataFrame,
+        before_batch: int | None = None,
+        buckets: list[int] | None = None,
     ) -> DataFrame | None:
         """Pruned state read: only rows whose ``bucket_by`` key appears in
         ``keys_df`` (whose columns must be exactly ``bucket_by``). Partition
@@ -242,16 +281,14 @@ class SnapshotStateTable:
         ``before_batch=b`` pins to the pre-batch-``b`` snapshot — REQUIRED
         for every read whose result feeds deltas committed later in the same
         batch (replay after a mid-batch crash would otherwise see the
-        already-committed post-state and derive empty/doubled deltas)."""
+        already-committed post-state and derive empty/doubled deltas).
+
+        ``buckets`` (from :meth:`bucket_ids_for`, possibly computed on a
+        SUPERSET of these keys against the same bucket count) skips the
+        per-call bucket-id job — the driver-overhead fusion the streaming
+        kernel uses to keep Spark jobs per micro-batch low."""
         assert self.bucket_by, "read_for requires a bucket_by declaration"
-        ids = [
-            r[0]
-            for r in keys_df.select(
-                self._bucket_expr(self.bucket_by).alias("_b")
-            )
-            .distinct()
-            .collect()
-        ]
+        ids = buckets if buckets is not None else self.bucket_ids_for(keys_df)
         if not ids:
             return None
         out = self._resolve(
@@ -338,21 +375,18 @@ class SnapshotStateTable:
         self._atomic_write(tagged, self._dir("b", batch_id))
 
     def commit_unchanged(self, batch_id: int) -> None:
-        """Mark a batch committed with zero data movement (empty delta)."""
+        """Mark a batch committed with zero data movement: a marker delta
+        directory holding only ``_SUCCESS`` (no parquet). ``_resolve`` skips
+        parquet-free directories, so readers never touch it — and unlike the
+        old empty-parquet write, this costs ZERO Spark jobs (it is pure
+        filesystem; empty batches previously paid ~2 small jobs per table)."""
         if self.committed(batch_id):
             return
-        cur = [kb for kb in self._committed_dirs() if _has_parquet(self._dir(*kb))]
-        if not cur:
-            return
-        kind, b = cur[-1]
-        empty = self.spark.read.parquet(self._dir(kind, b)).limit(0)
-        # written unpartitioned: a zero-row partitioned write emits no files
-        # at all and the directory would read as schema-less
-        empty = empty.drop(_BUCKET)
         tmp = self._dir("d", batch_id) + ".tmp"
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
-        empty.write.mode("overwrite").parquet(tmp)
+        os.makedirs(tmp)
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
         final = self._dir("d", batch_id)
         if os.path.exists(os.path.join(final, "_SUCCESS")):
             shutil.rmtree(tmp)
@@ -461,6 +495,43 @@ class IcebergStateTable:
     def compact_sql(self) -> str:
         return f"CALL system.rewrite_data_files(table => '{self.table}')"
 
+    def bucket_ids_sql(self, keys_view: str) -> str:
+        """Distinct Iceberg bucket ids of the requested keys (the Iceberg
+        ``bucket`` transform is Murmur3-based — it must be computed BY
+        Iceberg's own function, not by the stand-in's xxhash64)."""
+        cols = ", ".join(
+            f"system.bucket({self.num_buckets}, {c}) AS _b_{c}"
+            for c in self.bucket_by
+        )
+        return f"SELECT DISTINCT {cols} FROM {keys_view}"
+
+    def bucket_filter_sql(self, ids_per_col: dict) -> str:
+        """Explicit partition-pruning predicate for ``read_for``: a
+        conjunction of ``system.bucket(N, col) IN (...)`` terms. Guarantees
+        bucket-partition pruning (Spark 3.4+ V2 function pushdown) — a plain
+        broadcast-semi-join on the key column does NOT, which at 100 TB means
+        a full scan per micro-batch (round-3 What's wrong #4)."""
+        return " AND ".join(
+            f"system.bucket({self.num_buckets}, {c}) IN "
+            f"({', '.join(str(int(i)) for i in sorted(set(ids)))})"
+            for c, ids in ids_per_col.items()
+        )
+
+    def snapshot_prop(self, batch_id: int) -> str:
+        return f"pre_merge_snapshot_b{int(batch_id)}"
+
+    def snapshot_set_sql(self, batch_id: int, snapshot_id: int) -> str:
+        """Record the pre-merge snapshot id so a replay after a mid-batch
+        crash can version-pin its reads (the stand-in's ``_BATCH <
+        before_batch`` filter ≙ ``VERSION AS OF`` the pre-merge snapshot)."""
+        return (
+            f"ALTER TABLE {self.table} SET TBLPROPERTIES "
+            f"('{self.snapshot_prop(batch_id)}'='{int(snapshot_id)}')"
+        )
+
+    def versioned_table_sql(self, snapshot_id: int) -> str:
+        return f"SELECT * FROM {self.table} VERSION AS OF {int(snapshot_id)}"
+
     def watermark_read_sql(self) -> str:
         return f"SHOW TBLPROPERTIES {self.table} ('last_merged_batch')"
 
@@ -497,6 +568,14 @@ class IcebergStateTable:
         wm = self.last_merged_batch()
         return wm is not None and batch_id <= wm
 
+    def current_snapshot_id(self) -> int | None:
+        self._require()
+        rows = self.spark.sql(
+            f"SELECT snapshot_id FROM {self.table}.snapshots "
+            f"ORDER BY committed_at DESC LIMIT 1"
+        ).collect()
+        return int(rows[0][0]) if rows else None
+
     def apply_delta(self, upserts, deletes, keys: list[str], batch_id: int) -> None:
         self._require()
         if self.committed(batch_id):
@@ -511,6 +590,12 @@ class IcebergStateTable:
             delta = delta.unionByName(p, allowMissingColumns=True)
         delta.createOrReplaceTempView("_delta")
         cols = [c for c in delta.columns if c != _OP]
+        # pin the pre-merge snapshot FIRST: a crash between the property
+        # commit and the MERGE replays both (idempotent); a crash after the
+        # MERGE leaves the pin in place for version-pinned replay reads
+        snap = self.current_snapshot_id()
+        if snap is not None:
+            self.spark.sql(self.snapshot_set_sql(batch_id, snap))
         self.spark.sql(self.merge_sql(keys, cols))
         self.spark.sql(self.watermark_set_sql(batch_id))
 
@@ -518,11 +603,45 @@ class IcebergStateTable:
         self._require()
         return self.spark.table(self.table)
 
-    def read_for(self, keys_df):
+    def _pinned_table(self, before_batch: int | None):
+        """Table view as of BEFORE ``before_batch``'s merge (the stand-in's
+        ``_BATCH < b`` filter): current state when that batch never merged,
+        else ``VERSION AS OF`` its recorded pre-merge snapshot."""
+        if before_batch is None or not self.committed(before_batch):
+            return self.spark.table(self.table)
+        rows = self.spark.sql(
+            f"SHOW TBLPROPERTIES {self.table} "
+            f"('{self.snapshot_prop(before_batch)}')"
+        ).collect()
+        snaps = [
+            int(r["value"]) for r in rows
+            if r["key"] == self.snapshot_prop(before_batch)
+        ]
+        if not snaps:  # merged before snapshot pinning existed → best effort
+            return self.spark.table(self.table)
+        return self.spark.sql(self.versioned_table_sql(snaps[0]))
+
+    def read_for(self, keys_df, before_batch: int | None = None, buckets=None):
+        """Pruned read: an EXPLICIT ``system.bucket(N, col) IN (...)``
+        predicate (guaranteed partition pruning) plus the key semi-join.
+        ``buckets`` is accepted for interface parity with the stand-in but
+        recomputed here — Iceberg's Murmur3 bucket ids differ from the
+        stand-in's xxhash64 ids."""
         self._require()
         assert self.bucket_by
-        return self.spark.table(self.table).join(
-            F.broadcast(keys_df.distinct()), self.bucket_by, "left_semi"
+        keys = keys_df.distinct()
+        view = "_rf_keys"
+        keys.createOrReplaceTempView(view)
+        rows = self.spark.sql(self.bucket_ids_sql(view)).collect()
+        if not rows:
+            return None
+        ids_per_col = {
+            c: sorted({int(r[f"_b_{c}"]) for r in rows}) for c in self.bucket_by
+        }
+        return (
+            self._pinned_table(before_batch)
+            .where(F.expr(self.bucket_filter_sql(ids_per_col)))
+            .join(F.broadcast(keys), self.bucket_by, "left_semi")
         )
 
 

@@ -143,6 +143,29 @@ def test_iceberg_sql_generation(spark):
         it.watermark_set_sql(7)
         == "ALTER TABLE state.edges SET TBLPROPERTIES ('last_merged_batch'='7')"
     )
+    # read_for's explicit bucket-pruning predicate (round-3 What's wrong #4:
+    # a bare semi-join does not guarantee partition pruning on a bucket
+    # transform) + version-pinned replay reads
+    assert (
+        it.bucket_ids_sql("_rf_keys")
+        == "SELECT DISTINCT system.bucket(64, u) AS _b_u FROM _rf_keys"
+    )
+    f = it.bucket_filter_sql({"u": [5, 3, 5]})
+    assert f == "system.bucket(64, u) IN (3, 5)"
+    two = IcebergStateTable(spark, "state.x", bucket_by=["a", "b"], num_buckets=8)
+    assert (
+        two.bucket_filter_sql({"a": [1], "b": [2, 0]})
+        == "system.bucket(8, a) IN (1) AND system.bucket(8, b) IN (0, 2)"
+    )
+    assert (
+        it.snapshot_set_sql(9, 1234)
+        == "ALTER TABLE state.edges SET TBLPROPERTIES "
+        "('pre_merge_snapshot_b9'='1234')"
+    )
+    assert (
+        it.versioned_table_sql(1234)
+        == "SELECT * FROM state.edges VERSION AS OF 1234"
+    )
     # factory falls back to the parquet stand-in without the runtime
     import tempfile
 

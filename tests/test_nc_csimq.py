@@ -1,0 +1,108 @@
+"""NC-domain (multi-attribute) pipeline on the reference's csimq fixture.
+
+``NcBaseTest.java:247-283`` (csimqTest) is the only NC flow runnable from the
+checked-in reference data: the 5s*/10s* NC benchmark graphs ship WITHOUT
+``vertices.json`` (verified: ls data/nc/5s2 → edges.json + graphHeads.json
+only, while ``Utils.getGradoopGraph`` requires vertices.json), so the
+5pm/10pm gold-pair quality runs are impossible in this checkout.  The csimq
+fixture (14 NC records, 4 geco sources, 13 candidate edges) runs the full
+multi-attribute composition: trigram label/artist/album + repaired-postcode
+exact match, null-aware mean, >0.6 admission, BASIC link filter, CC, SimSort
+on the rebuilt per-component all-pairs graph.
+
+The reference test asserts cluster 0 has 4 members and cluster 9 holds 9/10.
+Hand-tracing the published compute functions (documented per-edge means
+below) shows these hold at SimSort threshold 0.6, while at the 0.7 the test
+file sets, ``SimSortComputeFunction.java:60-73`` itself evicts vertex 3
+(mean admitted-edge sim (0.722572+0.641983+0.611956)/3 = 0.658837 < 0.7 with
+no lower neighbour) and splits {4,5} (0.643110 < 0.7 on both sides) — so the
+reference test's assertion set corresponds to the 0.6 run; we pin BOTH
+behaviours.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+NC_CSIMQ = "/root/reference/analysis-core/src/test/resources/data/nc/csimq"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(os.path.join(NC_CSIMQ, "vertices", "vertices.json")),
+    reason="reference nc/csimq fixture not available",
+)
+
+
+@pytest.fixture(scope="module")
+def nc(spark, tmp_path_factory):
+    from mapping_analysis_spark.nc import nc_graph, nc_scored_edges
+
+    d = tmp_path_factory.mktemp("csimq")
+    os.symlink(
+        os.path.join(NC_CSIMQ, "vertices", "vertices.json"), d / "vertices.json"
+    )
+    os.symlink(os.path.join(NC_CSIMQ, "edges", "edges.json"), d / "edges.json")
+    vertices, edges = nc_graph(spark, str(d))
+    vertices = vertices.localCheckpoint(eager=True)
+    scored = nc_scored_edges(vertices, edges).localCheckpoint(eager=True)
+    return {"vertices": vertices, "edges": edges, "scored": scored}
+
+
+def _clusters(vertices, scored, threshold):
+    from mapping_analysis_spark.nc import nc_clusters
+
+    assign = nc_clusters(vertices, scored, simsort_threshold=threshold)
+    rows = (
+        assign.groupBy("comp")
+        .agg(
+            F.min("rid").alias("cluster_rid"),
+            F.sort_array(F.collect_list("rid")).alias("members"),
+        )
+        .collect()
+    )
+    return {r["cluster_rid"]: list(r["members"]) for r in rows}
+
+
+def test_nc_csimq_graph_and_admission(nc):
+    assert nc["vertices"].count() == 14
+    assert nc["edges"].count() == 13
+    # admitted + link-filtered edge set (8-11 loses the per-source 1:n race
+    # against 8-7; 3-6, 5-6, 6-7, 7-13 fall below the 0.6 admission)
+    got = {
+        (min(r["a"], r["b"]), max(r["a"], r["b"])): round(r["sim"], 6)
+        for r in nc["scored"].collect()
+    }
+    assert got == {
+        (0, 1): 0.927783,
+        (1, 2): 0.817167,
+        (2, 3): 0.611956,
+        (4, 5): 0.643110,
+        (7, 8): 0.867038,
+        (9, 10): 0.775707,
+        (11, 12): 0.823288,
+    }
+
+
+def test_nc_csimq_reference_assertions_hold_at_060(nc):
+    """The csimqTest assertion set: cluster 0 with 4 members; the cluster
+    with representative id 9 contains vertices 9/10."""
+    got = _clusters(nc["vertices"], nc["scored"], 0.6)
+    assert sorted(x for m in got.values() for x in m) == list(range(14))
+    assert got[0] == [0, 1, 2, 3]
+    assert got[9] == [9, 10]
+    assert got[4] == [4, 5]
+
+
+def test_nc_csimq_simsort_evicts_at_070(nc):
+    """At the 0.7 threshold the compute function's own math evicts vertex 3
+    and splits {4,5} — the faithful outcome of the published semantics."""
+    got = _clusters(nc["vertices"], nc["scored"], 0.7)
+    assert got[0] == [0, 1, 2]
+    assert got[3] == [3]
+    assert got[4] == [4]
+    assert got[5] == [5]
+    assert got[9] == [9, 10]
+    assert got[7] == [7, 8]
+    assert got[11] == [11, 12]

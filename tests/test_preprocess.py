@@ -138,8 +138,13 @@ def test_sim_sort_evicts_weak_vertex(spark):
     edges = spark.createDataFrame(
         [("a", "b", 0.9), ("a", "w", 0.2), ("b", "w", 0.3)], ["a", "b", "sim"]
     )
-    got = {r["node"]: r["comp"] for r in sim_sort(edges, comps, threshold=0.5).collect()}
-    assert got == {"a": "c", "b": "c", "w": "w"}  # weak vertex split out
+    rows = sim_sort(edges, comps, threshold=0.5).collect()
+    got = {r["node"]: r["comp"] for r in rows}
+    # weak vertex split out; survivors relabeled to min surviving member
+    assert got == {"a": "a", "b": "a", "w": "w"}
+    assert {r["node"]: r["evicted"] for r in rows} == {
+        "a": False, "b": False, "w": True
+    }
 
 
 def test_representative_edges(spark):
