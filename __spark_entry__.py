@@ -1951,6 +1951,100 @@ def entry(spark: SparkSession) -> DataFrame:
     return dedup_conversations(_t(spark, "/root/testdata/sf0.001"))
 
 
+_NC_CSIMQ_DIR = (
+    "/root/reference/analysis-core/src/test/resources/data/nc/csimq"
+)
+
+
+def q_nc_csimq_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NC-domain DefaultPreprocessing on the reference's real csimq fixture
+    (``NcBaseTest.java:247-283``): EPGM source → intra-source removal →
+    NcSimilarityFunction (trigram label/artist/album + repaired-postcode
+    exact match, null-aware mean, strict > 0.6 admission) → BASIC 1:n link
+    filter. Ignores ``sf_dir`` — the input is the checked-in 14-record
+    reference fixture, so the oracle exercises the multi-attribute NC path
+    on real reference data. Output: (a, b, sim_e6)."""
+    from mapping_analysis_spark.nc import nc_graph, nc_scored_edges
+
+    v, e = nc_graph(spark, _NC_CSIMQ_DIR)
+    return nc_scored_edges(v, e).select(
+        "a", "b", sim_e6(F.col("sim")).alias("sim_e6")
+    )
+
+
+def _sql_nc_csimq_edges() -> str:
+    """DuckDB replay of q_nc_csimq_edges: same simmetrics min-sum trigram
+    cosine (double ÷, float32 cast, 6-dp HALF_UP — ``music.py``
+    ``_simmetrics_cosine``), same fixed-order null-aware mean, same window
+    link filter."""
+    from mapping_analysis_spark.functions.sqlgen import norm_sql, trigrams_sql
+
+    def sane(c: str) -> str:
+        return (
+            f"({c} IS NOT NULL AND lower({c}) NOT IN "
+            f"('no label found', 'no_value', '-.-'))"
+        )
+
+    def tri_cos(side_a: str, side_b: str, attr: str) -> str:
+        xr, yr = f"{side_a}.{attr}", f"{side_b}.{attr}"
+        xn, yn = norm_sql(xr), norm_sql(yr)
+        A, B = trigrams_sql(xn), trigrams_sql(yn)
+        dot = (
+            f"COALESCE(list_sum(list_transform(list_distinct({A}), g -> "
+            f"LEAST(len(list_filter({A}, t -> t = g)), "
+            f"len(list_filter({B}, t -> t = g))))), 0)"
+        )
+        val = (
+            f"CAST(CAST({dot} / (sqrt(length({xn}) + 2) * "
+            f"sqrt(length({yn}) + 2)) AS REAL) AS DOUBLE)"
+        )
+        return (
+            f"CASE WHEN {sane(xr)} AND {sane(yr)} "
+            f"THEN floor({val} * 1000000 + 0.5) / 1000000 END"
+        )
+
+    v = f"read_json_auto('{_NC_CSIMQ_DIR}/vertices/vertices.json')"
+    e = f"read_json_auto('{_NC_CSIMQ_DIR}/edges/edges.json')"
+    sims = {
+        "sl": tri_cos("va", "vb", "data.label"),
+        "sar": tri_cos("va", "vb", "data.artist"),
+        "sal": tri_cos("va", "vb", "data.album"),
+        "sn": (
+            "CASE WHEN translate(va.data.number, 'sl|zoqg', '5112049') = "
+            "translate(vb.data.number, 'sl|zoqg', '5112049') THEN 1.0 END"
+        ),
+    }
+    sim_cols = ", ".join(f"{expr} AS {name}" for name, expr in sims.items())
+    n_present = " + ".join(
+        f"CASE WHEN {n} IS NOT NULL THEN 1 ELSE 0 END" for n in sims
+    )
+    # fixed left-to-right sum (adding 0.0 is exact) = Spark's F.aggregate
+    # over the null-filtered [label, artist, album, number] array
+    ssum = " + ".join(f"COALESCE({n}, 0)" for n in sims)
+    return f"""
+WITH scored AS (
+  SELECT e.source AS a, e.target AS b,
+         va.data.dataSource AS sa, vb.data.dataSource AS sb,
+         {sim_cols}
+  FROM {e} e
+  JOIN {v} va ON va.id = e.source
+  JOIN {v} vb ON vb.id = e.target
+  WHERE va.data.dataSource <> vb.data.dataSource
+), admitted AS (
+  SELECT a, b, sa, sb, ({ssum}) / ({n_present}) AS sim
+  FROM scored
+  WHERE ({n_present}) > 0 AND ({ssum}) / ({n_present}) > 0.6
+), ranked AS (
+  SELECT a, b, sim,
+         ROW_NUMBER() OVER (PARTITION BY a, sb ORDER BY sim DESC, a, b) AS ra,
+         ROW_NUMBER() OVER (PARTITION BY b, sa ORDER BY sim DESC, a, b) AS rb
+  FROM admitted
+)
+SELECT a, b, CAST(floor(sim * 1000000 + 0.5) AS BIGINT) AS sim_e6
+FROM ranked WHERE ra = 1 AND rb = 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "conv_records": q_conv_records,
@@ -1990,6 +2084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_type_overlap_cc": q_conv_type_overlap_cc,
         "conv_decomposition": q_conv_decomposition,
         "conv_candidate_creator": q_conv_candidate_creator,
+        "nc_csimq_edges": q_nc_csimq_edges,
     }
 
 
@@ -2034,4 +2129,5 @@ def oracle_sql() -> dict[str, str]:
         "conv_type_overlap_cc": SQL_CONV_TYPE_OVERLAP_CC,
         "conv_decomposition": _sql_conv_decomposition(),
         "conv_candidate_creator": _sql_conv_candidate_creator(),
+        "nc_csimq_edges": _sql_nc_csimq_edges(),
     }

@@ -55,8 +55,15 @@ def read_epgm_graph(
     Gradoop id (xxhash64 stands in for the reference's string hash — ids
     are opaque either way). Edges: (a, b) resolved to vertex rids.
     """
-    vraw = spark.read.json(os.path.join(path, "vertices.json"))
-    eraw = spark.read.json(os.path.join(path, "edges.json"))
+    def part(name: str) -> str:
+        # both EPGM layouts occur in the reference: flat (<dir>/vertices.json,
+        # util/Utils.java:134-136) and nested (<dir>/vertices/vertices.json,
+        # e.g. the nc/csimq and geography fixtures)
+        flat = os.path.join(path, f"{name}.json")
+        return flat if os.path.exists(flat) else os.path.join(path, name)
+
+    vraw = spark.read.json(part("vertices"))
+    eraw = spark.read.json(part("edges"))
     data_cols = (
         [f.name for f in vraw.schema["data"].dataType.fields]
         if "data" in vraw.columns

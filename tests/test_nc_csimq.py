@@ -36,15 +36,10 @@ pytestmark = pytest.mark.skipif(
 
 
 @pytest.fixture(scope="module")
-def nc(spark, tmp_path_factory):
+def nc(spark):
     from mapping_analysis_spark.nc import nc_graph, nc_scored_edges
 
-    d = tmp_path_factory.mktemp("csimq")
-    os.symlink(
-        os.path.join(NC_CSIMQ, "vertices", "vertices.json"), d / "vertices.json"
-    )
-    os.symlink(os.path.join(NC_CSIMQ, "edges", "edges.json"), d / "edges.json")
-    vertices, edges = nc_graph(spark, str(d))
+    vertices, edges = nc_graph(spark, NC_CSIMQ)
     vertices = vertices.localCheckpoint(eager=True)
     scored = nc_scored_edges(vertices, edges).localCheckpoint(eager=True)
     return {"vertices": vertices, "edges": edges, "scored": scored}
