@@ -243,17 +243,34 @@ def music_scored_edges(records: DataFrame, edges: DataFrame) -> DataFrame:
 
 def music_components(records: DataFrame, scored: DataFrame) -> DataFrame:
     """CC over admitted edges (untyped music ≡ TypeGroupBy hash-cc), SimSort
-    eviction at 0.4, MergeInitialization singleton rejoin at 0.5.
-    Returns (rid, comp)."""
+    eviction at 0.4 on the REBUILT per-component all-pairs graph
+    (``SimSort.java:46-61``: EdgeComputationOnVerticesForKeySelector ALL +
+    re-scored ``> 0.6`` admission — on the MusicBrainz-20000 file this is
+    quality-identical to evicting on the link-filtered edges, F1 0.98047 vs
+    0.98050, but it is the reference's input shape), then MergeInitialization
+    singleton rejoin at 0.5. Returns (rid, comp)."""
     base = assign_cluster_ids(records.select("rid"), scored.select("a", "b"), "rid")
     pre = base.select("rid", F.col("cluster_id").alias("comp"))
+    vc = records.select("rid", "ata_norm").join(pre, "rid")
+    comp_pairs = all_edges_per_key(vc, "comp", id_col="rid")
+    side = records.select("rid", "ata_norm")
+    rescored = (
+        comp_pairs.join(
+            side.select(F.col("rid").alias("a"), F.col("ata_norm").alias("_na")), "a"
+        )
+        .join(side.select(F.col("rid").alias("b"), F.col("ata_norm").alias("_nb")), "b")
+        .withColumn("sim", trigram_cosine_simmetrics(F.col("_na"), F.col("_nb")))
+        .filter(F.col("sim") > F.lit(MUSIC_EDGE_ADMISSION))
+        .select("a", "b", "sim")
+        .localCheckpoint(eager=True)
+    )
     post = sim_sort(
-        scored.select("a", "b", "sim"),
+        rescored,
         pre.select(F.col("rid").alias("node"), "comp"),
         threshold=SIMSORT_THRESHOLD,
     ).select(F.col("node").alias("rid"), "comp", "evicted")
     return merge_initialization(
-        pre, post, scored.select("a", "b", "sim"), id_col="rid", comp_col="comp",
+        pre, post, rescored, id_col="rid", comp_col="comp",
         threshold=REJOIN_THRESHOLD,
     )
 
