@@ -1030,15 +1030,34 @@ SELECT doc_id, {_LANG_CASE} AS lang_guess, {_LANG_BEST} AS marker_hits FROM t
 """
 
 
+_TOKS_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _record_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized (rid, toks) featurization — unpruned (every record present,
+    unlike `_blocked_key_rows`, whose stop-block pruning may drop records
+    whose keys are all stop blocks)."""
+    key = (id(spark), sf_dir)
+    cached = _TOKS_CACHE.get(key)
+    if cached is not None:
+        return cached
+    rec = (
+        conversation_records(_t(spark, sf_dir))
+        .withColumn("toks", distinct_tokens(F.col("doc")))
+        .select("rid", "toks")
+        .localCheckpoint(eager=True)
+    )
+    _TOKS_CACHE[key] = rec
+    return rec
+
+
 def q_conv_idf_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IDF blocking (reference tfidf package, 690 LoC → DataFrame ops):
     records sharing >= 2 of their top-2 rarest tokens are connected; CC over
     the share graph gives block ids."""
     from mapping_analysis_spark.operators.decomposition import idf_blocking
 
-    rec = conversation_records(_t(spark, sf_dir))
-    rec = rec.withColumn("toks", distinct_tokens(F.col("doc")))
-    return idf_blocking(rec.select("rid", "toks"), top_k=2, support=2)
+    return idf_blocking(_record_tokens(spark, sf_dir), top_k=2, support=2)
 
 
 SQL_CONV_IDF_BLOCKING = f"""
