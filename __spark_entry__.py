@@ -151,7 +151,28 @@ SELECT rid, source, CAST(1 << source AS INT) AS smask, label, doc, n_turns FROM 
 """
 
 
-_BLOCKED_CACHE: dict[tuple[int, str], DataFrame] = {}
+_CACHES: list[dict] = []
+
+
+def _register_cache(d: dict) -> dict:
+    _CACHES.append(d)
+    return d
+
+
+def _cache_key(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Session-scoped memo key. Keyed on ``applicationId`` (unique per
+    SparkContext), NOT ``id(spark)`` — a stopped session's id() can be
+    reused by a new one, handing back DataFrames bound to a dead context.
+    Entries from other (dead) applications are evicted on every lookup so
+    checkpointed RDDs / broadcasts from prior sessions don't accumulate."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    for c in _CACHES:
+        for stale in [k for k in c if k[0] != key[0]]:
+            del c[stale]
+    return key
+
+
+_BLOCKED_CACHE: dict[tuple[str, str], DataFrame] = _register_cache({})
 
 
 def _blocked_key_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -165,7 +186,7 @@ def _blocked_key_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.1)."""
     from mapping_analysis_spark.pipeline import block_keys_array
 
-    key = (id(spark), sf_dir)
+    key = _cache_key(spark, sf_dir)
     cached = _BLOCKED_CACHE.get(key)
     if cached is not None:
         return cached
@@ -181,7 +202,7 @@ def _blocked_key_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-_PAIR_IDS_CACHE: dict[tuple[int, str], DataFrame] = {}
+_PAIR_IDS_CACHE: dict[tuple[str, str], DataFrame] = _register_cache({})
 
 
 def _blocked_pairs(spark: SparkSession, sf_dir: str, payload: list[str]) -> DataFrame:
@@ -192,7 +213,7 @@ def _blocked_pairs(spark: SparkSession, sf_dir: str, payload: list[str]) -> Data
     blocked rows, so each query only pays its own payload join."""
     from mapping_analysis_spark.operators.blocking import block_pairs
 
-    key = (id(spark), sf_dir)
+    key = _cache_key(spark, sf_dir)
     ids = _PAIR_IDS_CACHE.get(key)
     rows = _blocked_key_rows(spark, sf_dir)
     if ids is None:
@@ -327,7 +348,7 @@ SELECT a_rid, b_rid, {sqlgen.sim_e6_sql('sim')} AS sim_e6 FROM ranked WHERE ra =
 """
 
 
-_DEDUP_ASSIGN_CACHE: dict[tuple[int, str], DataFrame] = {}
+_DEDUP_ASSIGN_CACHE: dict[tuple[str, str], DataFrame] = _register_cache({})
 
 
 def q_conv_dedup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -339,7 +360,7 @@ def q_conv_dedup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate_creator all start from this assignment — sharing the
     materialized frame drops three full re-derives (pair gen + Jaccard +
     CC, ~7 s each at sf0.1) from the bench."""
-    key = (id(spark), sf_dir)
+    key = _cache_key(spark, sf_dir)
     cached = _DEDUP_ASSIGN_CACHE.get(key)
     if cached is not None:
         return cached
@@ -1030,14 +1051,14 @@ SELECT doc_id, {_LANG_CASE} AS lang_guess, {_LANG_BEST} AS marker_hits FROM t
 """
 
 
-_TOKS_CACHE: dict[tuple[int, str], DataFrame] = {}
+_TOKS_CACHE: dict[tuple[str, str], DataFrame] = _register_cache({})
 
 
 def _record_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Memoized (rid, toks) featurization — unpruned (every record present,
     unlike `_blocked_key_rows`, whose stop-block pruning may drop records
     whose keys are all stop blocks)."""
-    key = (id(spark), sf_dir)
+    key = _cache_key(spark, sf_dir)
     cached = _TOKS_CACHE.get(key)
     if cached is not None:
         return cached
@@ -1156,7 +1177,7 @@ def q_conv_greedy_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HUNGARIAN_THRESHOLD = 0.5
 _HUNGARIAN_MAX_EDGES = 12
 
-_KEYED_SCORED_CACHE: dict[tuple[int, str], DataFrame] = {}
+_KEYED_SCORED_CACHE: dict[tuple[str, str], DataFrame] = _register_cache({})
 
 
 def _keyed_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1173,7 +1194,7 @@ def _keyed_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     block keys with one semi-filtered join against the thin keyed id set."""
     from mapping_analysis_spark.operators.blocking import block_pairs
 
-    key = (id(spark), sf_dir)
+    key = _cache_key(spark, sf_dir)
     cached = _KEYED_SCORED_CACHE.get(key)
     if cached is not None:
         return cached
@@ -1189,9 +1210,12 @@ def _keyed_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed_ids = block_pairs(thin, block_col="bk").select(
         F.col("a_bk").alias("bk"), "a_rid", "b_rid", "a_source", "b_source"
     )
-    out = keyed_ids.join(
-        F.broadcast(scored), ["a_rid", "b_rid"]
-    ).localCheckpoint(eager=True)
+    # broadcast only while the admitted pair set is genuinely small — it
+    # grows with SF, and an unconditional hint is a driver-OOM at scale.
+    # count() is one cheap job over the already-checkpointed RDD.
+    if scored.count() <= 2_000_000:
+        scored = F.broadcast(scored)
+    out = keyed_ids.join(scored, ["a_rid", "b_rid"]).localCheckpoint(eager=True)
     _KEYED_SCORED_CACHE[key] = out
     return out
 
@@ -1999,9 +2023,10 @@ def _sql_nc_csimq_edges() -> str:
     from mapping_analysis_spark.functions.sqlgen import norm_sql, trigrams_sql
 
     def sane(c: str) -> str:
+        # Utils.isSane constants, case-sensitive (util/Constants.java:177-180)
         return (
-            f"({c} IS NOT NULL AND lower({c}) NOT IN "
-            f"('no label found', 'no_value', '-.-'))"
+            f"({c} IS NOT NULL AND {c} NOT IN "
+            f"('no_label_found', 'no_value', '--'))"
         )
 
     def tri_cos(side_a: str, side_b: str, attr: str) -> str:

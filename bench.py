@@ -82,7 +82,13 @@ def main() -> int:
         "turns_per_sec": round(n_turns / e2e, 1),
         "cores": cores,
     }
-    print(json.dumps(out))
+    line = json.dumps(out)
+    print(line)
+    # the driver captures a tail of stdout; a long run's single JSON line can
+    # get truncated there (BENCH_r04.json parsed:null) — persist it too
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_LAST.json"), "w") as f:
+        f.write(line + "\n")
     spark.stop()
     return 0
 

@@ -74,18 +74,21 @@ def read_epgm_graph(
         if "recId" in data_cols
         else F.lit(None).cast("string")
     )
-    # NC rec ids look like "rec-123-org" / "rec-123-dup-0" — digits embed the
-    # numeric id (Utils.getIdFromNcId); GEO recIds are plain longs
+    # Utils.getIdFromNcId (util/Utils.java:464-472): split the recId on 's'
+    # and REVERSE-concatenate the parts ("501s2020" -> "2020501"), then parse
+    # as long — NOT a first-digit-run extract, which would collapse an
+    # original record and its duplicate ("rec-123-org" vs "rec-123-dup-0")
+    # into one vertex. Non-parsing recIds hash on the FULL string so distinct
+    # recIds never share a rid. GEO recIds are plain longs (a one-part
+    # 's'-split, identical under reverse-concat).
+    nc_long = F.concat_ws("", F.reverse(F.split(rec_id, "s"))).try_cast("long")
     # plain numeric vertex ids (e.g. the nc/csimq fixture, already a Gelly
     # graph: JSONDataSource(graphPath, true).getGraph) pass through as-is;
     # Gradoop hex ids hash
     plain_id = F.expr("try_cast(id as long)")
     rid = F.when(
         rec_id.isNotNull(),
-        F.coalesce(
-            F.regexp_extract(rec_id, r"(\d+)", 1).cast("long"),
-            F.xxhash64(rec_id),
-        ),
+        F.coalesce(nc_long, F.xxhash64(rec_id)),
     ).otherwise(F.coalesce(plain_id, F.xxhash64(F.col("id"))))
     sel = [rid.alias("rid"), F.col("id").alias("_gid")]
     for out_name, aliases in _PROP_ALIASES.items():

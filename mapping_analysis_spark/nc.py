@@ -53,8 +53,10 @@ _NUM_TO = "5112049"
 
 
 def _sane(col: Column) -> Column:
-    # Utils.isSane: null / "no label found" / "no_value" / csv no-value
-    return col.isNotNull() & ~F.lower(col).isin("no label found", "no_value", "-.-")
+    # Utils.isSane (util/Utils.java:89-94): CASE-SENSITIVE comparison against
+    # Constants.NO_LABEL_FOUND / NO_VALUE / CSV_NO_VALUE — identical to
+    # io.csv_source._sane
+    return col.isNotNull() & ~col.isin("no_label_found", "no_value", "--")
 
 
 def nc_graph(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:

@@ -576,6 +576,21 @@ class IcebergStateTable:
         ).collect()
         return int(rows[0][0]) if rows else None
 
+    def pinned_snapshot(self, batch_id: int) -> int | None:
+        """The recorded pre-merge snapshot for ``batch_id``, if any."""
+        self._require()
+        rows = self.spark.sql(
+            f"SHOW TBLPROPERTIES {self.table} "
+            f"('{self.snapshot_prop(batch_id)}')"
+        ).collect()
+        for r in rows:
+            if r["key"] == self.snapshot_prop(batch_id):
+                try:
+                    return int(r["value"])
+                except (TypeError, ValueError):
+                    return None
+        return None
+
     def apply_delta(self, upserts, deletes, keys: list[str], batch_id: int) -> None:
         self._require()
         if self.committed(batch_id):

@@ -34,7 +34,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO not in sys.path:  # worker subprocess launches with scripts/ as path[0]
     sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf1.0")
-LEVELS = tuple(int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "2,8").split(","))
+# sorted ascending: the efficiency formula and the .md narrative assume
+# LEVELS[0]=N < LEVELS[-1]=4N — a descending env value (e.g. "4,1") used to
+# produce an inverted story and a hi//lo=0 header (round-4 What's wrong #1)
+LEVELS = tuple(sorted(
+    int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "2,8").split(",")
+))
+assert len(LEVELS) >= 2 and LEVELS[-1] > LEVELS[0], LEVELS
 N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 # "local" = threads in one JVM (shares one socket's LLC/memory system across
 # all levels); "local-cluster" = one 1-core executor JVM per unit of
