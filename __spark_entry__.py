@@ -2089,6 +2089,105 @@ FROM ranked WHERE ra = 1 AND rb = 1
 """
 
 
+_MUSIC_CSV = (
+    "/root/reference/analysis-core/src/test/resources/data/musicbrainz/input/"
+    "musicbrainz-20000-A01.csv.dapo"
+)
+
+
+def q_music_csimq_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Music-domain DefaultPreprocessing on the reference's real gold-labeled
+    MusicBrainz-20000 CSV (``MusicBrainzTest.java:112-141``): CSV source
+    (``createSimpleArtistTitleAlbum`` attribute) → SIMPLE spanning-star input
+    graph per gold CID → intra-source removal → simmetrics trigram cosine on
+    the simplified artist+title+album with strict > 0.6 admission → BASIC
+    1:n link filter. Ignores ``sf_dir`` — the input is the reference's
+    checked-in 19,375-record fixture, putting the real-data music path under
+    the driver's DuckDB gate like ``nc_csimq_edges``. Output: (a, b,
+    sim_e6)."""
+    from mapping_analysis_spark.music import (
+        music_input_edges,
+        music_records,
+        music_scored_edges,
+    )
+
+    records = music_records(spark, _MUSIC_CSV)
+    scored = music_scored_edges(records, music_input_edges(records))
+    return scored.select("a", "b", sim_e6(F.col("sim")).alias("sim_e6"))
+
+
+def _sql_music_csimq_edges() -> str:
+    """DuckDB replay of q_music_csimq_edges: same CSV parse, same
+    ``createSimpleArtistTitleAlbum`` (sane-filtered concat → lowercase →
+    ASCII punctuation → space → collapse), same simmetrics min-sum trigram
+    cosine (double ÷, float32 cast, 6-dp HALF_UP), same spanning star,
+    same window link filter. RE2's ``[[:punct:]]`` is the same ASCII class
+    as Java's ``\\p{Punct}``."""
+    from mapping_analysis_spark.functions.sqlgen import trigrams_sql
+
+    def sane(c: str) -> str:
+        return (
+            f"({c} IS NOT NULL AND {c} NOT IN "
+            f"('no_label_found', 'no_value', '--'))"
+        )
+
+    # Java toLowerCase maps U+0130 (İ) to 'i' + U+0307 (combining dot above)
+    # — the one one-to-many lowercase mapping in Unicode SpecialCasing —
+    # while DuckDB's lower() simple-folds it to plain 'i'; pre-substitute so
+    # the oracle reproduces the JVM (and reference) normalization
+    ata = (
+        "trim(regexp_replace(regexp_replace(lower(replace(concat_ws(' ', "
+        + ", ".join(
+            f"CASE WHEN {sane(c)} THEN {c} END"
+            for c in ("artist", "title", "album")
+        )
+        + "), 'İ', 'i̇')), '[[:punct:]]', ' ', 'g'), '\\s+', ' ', 'g'))"
+    )
+    A, B = trigrams_sql("va.ata"), trigrams_sql("vb.ata")
+    dot = (
+        f"COALESCE(list_sum(list_transform(list_distinct({A}), g -> "
+        f"LEAST(len(list_filter({A}, t -> t = g)), "
+        f"len(list_filter({B}, t -> t = g))))), 0)"
+    )
+    val = (
+        f"CAST(CAST({dot} / (sqrt(length(va.ata) + 2) * "
+        f"sqrt(length(vb.ata) + 2)) AS REAL) AS DOUBLE)"
+    )
+    sim = f"floor({val} * 1000000 + 0.5) / 1000000"
+    return f"""
+WITH v AS (
+  SELECT TID AS rid, CID AS cid, SourceID AS source, {ata} AS ata
+  FROM read_csv('{_MUSIC_CSV}', header = true, columns = {{
+    'TID': 'BIGINT', 'CID': 'BIGINT', 'CTID': 'BIGINT', 'SourceID': 'INT',
+    'id': 'VARCHAR', 'number': 'VARCHAR', 'title': 'VARCHAR',
+    'length': 'VARCHAR', 'artist': 'VARCHAR', 'album': 'VARCHAR',
+    'year': 'VARCHAR', 'language': 'VARCHAR'}})
+), hubs AS (
+  SELECT cid, min(rid) AS hub FROM v GROUP BY cid
+), star AS (
+  SELECT h.hub AS a, v.rid AS b FROM v JOIN hubs h ON v.cid = h.cid
+  WHERE v.rid <> h.hub
+), admitted AS (
+  SELECT s.a, s.b, va.source AS sa, vb.source AS sb, {sim} AS sim
+  FROM star s
+  JOIN v va ON va.rid = s.a
+  JOIN v vb ON vb.rid = s.b
+  WHERE va.source <> vb.source
+), filtered AS (
+  SELECT a, b, sim FROM admitted WHERE sim > 0.6
+), ranked AS (
+  SELECT f.a, f.b, f.sim,
+         ROW_NUMBER() OVER (PARTITION BY f.a, ad.sb
+                            ORDER BY f.sim DESC, f.a, f.b) AS ra,
+         ROW_NUMBER() OVER (PARTITION BY f.b, ad.sa
+                            ORDER BY f.sim DESC, f.a, f.b) AS rb
+  FROM filtered f JOIN admitted ad ON ad.a = f.a AND ad.b = f.b
+)
+SELECT a, b, CAST(floor(sim * 1000000 + 0.5) AS BIGINT) AS sim_e6
+FROM ranked WHERE ra = 1 AND rb = 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "conv_records": q_conv_records,
@@ -2129,6 +2228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_decomposition": q_conv_decomposition,
         "conv_candidate_creator": q_conv_candidate_creator,
         "nc_csimq_edges": q_nc_csimq_edges,
+        "music_csimq_edges": q_music_csimq_edges,
     }
 
 
@@ -2174,4 +2274,5 @@ def oracle_sql() -> dict[str, str]:
         "conv_decomposition": _sql_conv_decomposition(),
         "conv_candidate_creator": _sql_conv_candidate_creator(),
         "nc_csimq_edges": _sql_nc_csimq_edges(),
+        "music_csimq_edges": _sql_music_csimq_edges(),
     }

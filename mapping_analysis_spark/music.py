@@ -94,9 +94,15 @@ def _simmetrics_cosine(ta, la: int, tb, lb: int) -> float:
     the reference builds in ``util/Utils.java:869-873``): Σ min(ca, cb) /
     (sqrt(Σca) · sqrt(Σcb)) — min-sum intersection over total token counts,
     NOT the count-dot-product cosine — computed to float32 like the Java
-    ``(float)`` cast, then 6-dp HALF_UP (``Utils.getExactDoubleResult``)."""
+    ``(float)`` cast, then 6-dp HALF_UP (``Utils.getExactDoubleResult``).
+
+    Empty-multiset semantics match simmetrics: both empty → 1.0, one empty
+    → 0.0 (callers pass padded trigram tables, where even "" tokenizes to
+    {'###': 2}, so this branch is the string-level contract's backstop)."""
     import numpy as np
 
+    if la == 0 and lb == 0:
+        return 1.0
     if la == 0 or lb == 0:
         return 0.0
     if len(tb) < len(ta):
@@ -142,7 +148,13 @@ def trigram_cosine_simmetrics(a: pd.Series, b: pd.Series) -> pd.Series:
     tri: dict = {}
     for i in np.flatnonzero(~valid):
         x, y = av[i], bv[i]
-        if x is None or y is None or x == "" or y == "":
+        if x is None or y is None:
+            continue
+        if x == "" or y == "":
+            # simmetrics: two empty multisets compare 1.0, one empty 0.0
+            # (the padded-trigram math gives the same: {'###':2} vs {'###':2}
+            # → 1.0; '###' never occurs in a non-empty string's grams → 0.0)
+            out[i] = 1.0 if x == "" and y == "" else 0.0
             continue
         for s in (x, y):
             if s not in tri:
@@ -305,6 +317,7 @@ def music_merge(
     merge_threshold: float,
     sources_count: int = DEFAULT_SOURCES_COUNT,
     blocking_length: int = DEFAULT_BLOCKING_LENGTH,
+    pair_cap: int = 1024,
 ) -> DataFrame:
     """MergeExecution (MUSIC): block-local greedy delta iteration.
 
@@ -322,6 +335,17 @@ def music_merge(
     per-superstep "all non-conflicting max triplets" schedule except for ties
     across id-disjoint pairs, where both orders merge the same pair set.
 
+    Scale shape (round-4 What's wrong #2): the O(k²) initial featurization +
+    scoring runs DISTRIBUTIVELY — a BLOCK_SPLIT-style salted triangle
+    self-join (``blocksplit/BlockSplitTripletCreator.java:49-117``, largest
+    task ≈ ``pair_cap``² sims) feeds the vectorized Arrow trigram kernel,
+    and only admitted pairs (disjoint masks, combined sources ≤ count,
+    sim ≥ threshold) reach the per-block Python kernel via cogroup. The
+    kernel keeps only the greedy delta iteration itself, re-scoring
+    merged-survivor pairs in-kernel (bounded by merges × live clusters, not
+    k²) — the same consume-pre-scored-pairs shape as the transcript path's
+    ``operators/clustering.py::greedy_merge``.
+
     Returns (rid, cluster_rid) — every input member mapped to its final
     merged cluster.
     """
@@ -331,7 +355,7 @@ def music_merge(
     threshold = float(merge_threshold)
     max_sources = int(sources_count)
 
-    def merge_block(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+    def merge_block(key, pdf: "pd.DataFrame", pairs: "pd.DataFrame") -> "pd.DataFrame":
         ids = [int(x) for x in pdf["cluster_rid"]]
         pdf = pdf.assign(cluster_rid=ids)
         ata = dict(zip(pdf["cluster_rid"], pdf["ata_norm"]))
@@ -351,7 +375,7 @@ def music_merge(
         def sim(x: str, y: str) -> float:
             sx, sy = ata[x], ata[y]
             if not sx or not sy:
-                return 0.0
+                return 1.0 if not sx and not sy else 0.0
             ta, la = tab(sx)
             tb, lb = tab(sy)
             return _simmetrics_cosine(ta, la, tb, lb)
@@ -359,17 +383,13 @@ def music_merge(
         def ok(x: str, y: str) -> bool:
             return (mask[x] & mask[y]) == 0 and bin(mask[x] | mask[y]).count("1") <= max_sources
 
-        # workset: admissible pairs scoring >= threshold (triplet creation +
-        # MinThresholdFilterFunction)
+        # workset: the distributively pre-scored admissible pairs (triplet
+        # creation + MinThresholdFilterFunction ran in the salted self-join)
         live = set(ids)
-        sims: dict[tuple[str, str], float] = {}
-        for i, x in enumerate(ids):
-            for y in ids[i + 1 :]:
-                a, b = (x, y) if x < y else (y, x)
-                if ok(a, b):
-                    s = sim(a, b)
-                    if s >= threshold:
-                        sims[(a, b)] = s
+        sims: dict[tuple[int, int], float] = {
+            (int(a), int(b)): float(s)
+            for a, b, s in zip(pairs["a"], pairs["b"], pairs["sim"])
+        }
         parent = {x: x for x in ids}
         while sims:
             (a, b), s = min(sims.items(), key=lambda kv: (-kv[1], kv[0]))
@@ -419,7 +439,70 @@ def music_merge(
         F.col("members").cast("array<long>").alias("members"),
         "block",
     )
-    return prepared.groupBy("block").applyInPandas(merge_block, out_schema)
+    # distributed triplet creation + scoring: salted triangle self-join
+    # (bounds the hottest block's largest task at ~pair_cap² sims) →
+    # admissibility (CheckRestrictionsFilterFunction) → vectorized Arrow
+    # trigram kernel → MinThresholdFilterFunction. Only admitted pairs reach
+    # the Python kernel.
+    from mapping_analysis_spark.operators.blocking import salted_block_pairs
+
+    thin = prepared.select("block", "cluster_rid", "ata_norm", "smask")
+    cand = salted_block_pairs(
+        thin,
+        block_col="block",
+        id_col="cluster_rid",
+        cross_source_only=False,
+        cap=pair_cap,
+    )
+    scored = (
+        cand.filter(
+            (F.col("a_smask").bitwiseAND(F.col("b_smask")) == 0)
+            & (
+                F.bit_count(F.col("a_smask").bitwiseOR(F.col("b_smask")))
+                <= F.lit(max_sources)
+            )
+        )
+        .withColumn(
+            "sim", trigram_cosine_simmetrics(F.col("a_ata_norm"), F.col("b_ata_norm"))
+        )
+        .filter(F.col("sim") >= F.lit(threshold))
+        .select(
+            F.col("a_block").alias("block"),
+            F.col("a_cluster_rid").alias("a"),
+            F.col("b_cluster_rid").alias("b"),
+            "sim",
+        )
+    )
+    return (
+        prepared.groupBy("block")
+        .cogroup(scored.groupBy("block"))
+        .applyInPandas(merge_block, out_schema)
+    )
+
+
+def music_block_load(
+    reps: DataFrame,
+    blocking_length: int = DEFAULT_BLOCKING_LENGTH,
+    top: int = 10,
+) -> DataFrame:
+    """Per-block merge-load statistics: the ``top`` hottest blocking labels
+    by candidate-pair count (k·(k−1)/2 over the block's representatives) —
+    the skew visibility the reference gets from its job accumulators
+    (``util/Constants.java:33-87``). One groupBy + a driver-side top-k; cheap
+    enough to log on every quality run."""
+    sizes = (
+        reps.select(music_blocking_label(F.col("ata"), blocking_length).alias("block"))
+        .groupBy("block")
+        .agg(F.count("*").alias("n_reps"))
+    )
+    return (
+        sizes.withColumn(
+            "n_pairs",
+            (F.col("n_reps") * (F.col("n_reps") - 1) / 2).cast("long"),
+        )
+        .orderBy(F.desc("n_pairs"), F.asc("block"))
+        .limit(top)
+    )
 
 
 def _rep_blocked_scored_edges(reps: DataFrame, blocking_length: int) -> DataFrame:
@@ -430,35 +513,34 @@ def _rep_blocked_scored_edges(reps: DataFrame, blocking_length: int) -> DataFram
     MultiIncrementalClusteringFunction.java:66-133``): blocking-key edges →
     DefaultPreprocessing; IntraSourceLinkRemover is a documented NO-OP in
     incremental mode (``IntraSourceLinkRemover.java:128-131``); the 1:n
-    selection happens in :func:`greedy_source_link_selection`."""
+    selection happens in :func:`greedy_source_link_selection`.
+
+    Pair generation is the BLOCK_SPLIT-style salted triangle self-join
+    (payload carried through; largest task bounded at ~cap² sims) — a plain
+    per-key self-join puts a hot prefix block's whole O(k²) in one task."""
+    from mapping_analysis_spark.operators.blocking import salted_block_pairs
+
     prepared = reps.select(
         F.col("cluster_rid").alias("rid"),
         F.col("ata").alias("ata_norm"),
         "smask",
         music_blocking_label(F.col("ata"), blocking_length).alias("block"),
+    ).select("block", "rid", "ata_norm", "smask")
+    cand = salted_block_pairs(
+        prepared, block_col="block", id_col="rid", cross_source_only=False
     )
-    e = all_edges_per_key(prepared, "block", id_col="rid")
-    side = prepared.select("rid", "ata_norm", "smask")
     return (
-        e.join(
-            side.select(
-                F.col("rid").alias("a"),
-                F.col("ata_norm").alias("_na"),
-                F.col("smask").alias("a_mask"),
-            ),
-            "a",
+        cand.withColumn(
+            "sim", trigram_cosine_simmetrics(F.col("a_ata_norm"), F.col("b_ata_norm"))
         )
-        .join(
-            side.select(
-                F.col("rid").alias("b"),
-                F.col("ata_norm").alias("_nb"),
-                F.col("smask").alias("b_mask"),
-            ),
-            "b",
-        )
-        .withColumn("sim", trigram_cosine_simmetrics(F.col("_na"), F.col("_nb")))
         .filter(F.col("sim") > F.lit(MUSIC_EDGE_ADMISSION))
-        .select("a", "b", "sim", "a_mask", "b_mask")
+        .select(
+            F.col("a_rid").alias("a"),
+            F.col("b_rid").alias("b"),
+            "sim",
+            F.col("a_smask").alias("a_mask"),
+            F.col("b_smask").alias("b_mask"),
+        )
     )
 
 

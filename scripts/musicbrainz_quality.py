@@ -26,13 +26,29 @@ DEFAULT_CSV = (
 def main() -> None:
     csv = sys.argv[1] if len(sys.argv) > 1 else DEFAULT_CSV
     from mapping_analysis_spark.session import get_spark
-    from mapping_analysis_spark.music import music_quality_sweep
-
-    from mapping_analysis_spark.music import music_incremental_quality
+    from mapping_analysis_spark.music import (
+        music_block_load,
+        music_components,
+        music_incremental_quality,
+        music_input_edges,
+        music_quality_sweep,
+        music_records,
+        music_representatives,
+        music_scored_edges,
+    )
 
     spark = get_spark()
     t0 = time.time()
     rows = music_quality_sweep(spark, csv).collect()
+    # merge-blocking skew visibility (reference: accumulator counters)
+    records = music_records(spark, csv)
+    reps = music_representatives(
+        records,
+        music_components(
+            records, music_scored_edges(records, music_input_edges(records))
+        ),
+    )
+    hot_blocks = [r.asDict() for r in music_block_load(reps).collect()]
     split_dir = csv.rsplit("/input/", 1)[0] + "/split"
     inc_rows = music_incremental_quality(spark, csv, split_dir).collect()
     wall = round(time.time() - t0, 2)
@@ -65,6 +81,7 @@ def main() -> None:
                 "best": best[1],
                 "sweep": sweep,
                 "incremental": incremental,
+                "hottest_merge_blocks": hot_blocks,
                 "wall_sec": wall,
             }
         )

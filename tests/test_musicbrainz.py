@@ -78,8 +78,11 @@ def test_simmetrics_kernel_paths_agree(spark):
     ys = rot + vals[:50] + list(reversed(accented)) + ["", vals[0], vals[1], None]
 
     def exact(x, y):
-        if x is None or y is None or x == "" or y == "":
+        if x is None or y is None:
             return 0.0
+        if x == "" or y == "":
+            # simmetrics: two empty multisets compare 1.0, one empty 0.0
+            return 1.0 if x == "" and y == "" else 0.0
         ca, cb = _trigrams(x), _trigrams(y)
         return _simmetrics_cosine(ca, sum(ca.values()), cb, sum(cb.values()))
 
@@ -91,7 +94,7 @@ def test_simmetrics_kernel_paths_agree(spark):
     ident = [
         g
         for g, v in zip(got[len(vals) : len(vals) + 50], vals[:50])
-        if v  # empty ata -> 0.0 by definition
+        if v  # empty-vs-empty is exactly 1.0; excluded from the ~1.0 check
     ]
     assert ident and all(abs(g - 1.0) <= 2e-6 for g in ident)
 
