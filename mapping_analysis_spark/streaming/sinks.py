@@ -241,13 +241,19 @@ class SnapshotStateTable:
                 out = out.withColumnRenamed(c, c[3:])
         return out
 
-    def read(self) -> DataFrame | None:
+    def read(self, before_batch: int | None = None) -> DataFrame | None:
         """Current FULL state (latest committed view), or None if empty.
-        O(total state) — for final results / compaction, not per-batch use.
+        O(total state) — for final results / compaction, or small whole-read
+        tables (e.g. the music job's dirty-block set), not per-batch use on
+        large state.
+
+        ``before_batch`` pins to the pre-batch snapshot exactly as in
+        :meth:`read_for` — required when the result feeds deltas committed
+        later in the same batch.
 
         Key columns come back under their original names (the ``_k_``
         prefix is internal)."""
-        out = self._resolve(self._committed_dirs())
+        out = self._resolve(self._committed_dirs(), before_batch=before_batch)
         return None if out is None else self._unprefix(out)
 
     def bucket_ids_for(self, keys_df: DataFrame) -> list[int]:
