@@ -55,7 +55,7 @@ def main() -> None:
         job = IncrementalClusteringJob(spark, os.path.join(tmp, "state"))
         t0 = time.time()
         q = job.start(arrivals, os.path.join(tmp, "ckpt"), max_files_per_trigger=1)
-        q.awaitTermination(900)
+        q.awaitTermination(int(os.environ.get("SPARK_GRAFT_STREAM_TIMEOUT", "900")))
         total = time.time() - t0
         recs = [
             json.loads(line)

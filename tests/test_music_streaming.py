@@ -157,6 +157,89 @@ def test_music_splits_stream_to_batch_parity(spark, tmp_path):
     assert batch_rows[-1]["f1_e6"] / 1e6 == pytest.approx(f1, abs=2e-3)
 
 
+class _Boom(RuntimeError):
+    pass
+
+
+def _boom(*a, **kw):
+    raise _Boom()
+
+
+def _music_waves(spark):
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "rid long, ata string, smask long"
+    )
+    return [
+        mk(
+            [
+                (1, "blue moon over the city", 1),
+                (2, "blue moon over the citty", 2),
+                (3, "unrelated words entirely here", 4),
+                (4, "green fields far far away", 1),
+                (5, "green fields far faraway", 2),
+            ]
+        ),
+        mk(
+            [
+                (6, "blue moon over the city", 4),  # cascades into {1,2}
+                (7, "crimson tide rising slowly", 8),
+            ]
+        ),
+        mk(
+            [
+                (8, "green fields far far away", 8),  # dirty-block re-merge
+                (9, "crimson tide rising slowly now", 16),
+            ]
+        ),
+    ]
+
+
+def _music_state(job):
+    out = {}
+    for st in job._tables:
+        name = st.root.rsplit("/", 1)[-1]
+        df = st.read()
+        out[name] = (
+            frozenset(
+                tuple(tuple(v) if isinstance(v, list) else v for v in r)
+                for r in df.collect()
+            )
+            if df is not None
+            else frozenset()
+        )
+    return out
+
+
+@pytest.mark.parametrize("crash_at", ["reps", "rep_blocks", "assignments", "dirty"])
+def test_music_job_mid_batch_crash_replay(spark, tmp_path, crash_at):
+    """Kill music batch 1 just before the ``crash_at`` table commits;
+    replay + batch 2 must converge to the uninterrupted run's full state
+    (the version-pinned pre-commit reads at work on the music commit
+    order reps → rep_blocks → assignments → dirty)."""
+    from mapping_analysis_spark.streaming.music_job import MusicIncrementalJob
+
+    waves = _music_waves(spark)
+    ref = MusicIncrementalJob(spark, str(tmp_path / "ref"))
+    for i, w in enumerate(waves):
+        ref.process_batch(w, i)
+    want = _music_state(ref)
+
+    job = MusicIncrementalJob(spark, str(tmp_path / "crash"))
+    job.process_batch(waves[0], 0)
+    victim = getattr(job, crash_at)
+    orig = victim.apply_delta
+    victim.apply_delta = _boom
+    with pytest.raises(_Boom):
+        job.process_batch(waves[1], 1)
+    victim.apply_delta = orig
+    assert not victim.committed(1)
+    job.process_batch(waves[1], 1)  # replay
+    job.process_batch(waves[2], 2)
+    got = _music_state(job)
+    for name in want:
+        assert got[name] == want[name], f"state diverged: {name}"
+
+
 def test_music_job_replay_is_noop(spark, tmp_path):
     """Exactly-once: re-invoking a committed batch does not change state."""
     from pyspark.sql import functions as F
