@@ -274,3 +274,61 @@ def test_music_job_replay_is_noop(spark, tmp_path):
         (int(r["rid"]), int(r["cluster_rid"])) for r in job.result().collect()
     }
     assert final == {(1, 1), (2, 1), (3, 3), (4, 1)}
+
+
+def test_music_job_increment_reads_o_dirty_not_o_state(spark, tmp_path):
+    """Exact dirty-block pruning: an increment confined to a few blocking
+    labels resolves only those blocks' state rows, not the full tables
+    (``scripts/music_state_scaling.py`` measures the same property at 40-80k
+    records: the increment read volume is flat while total state doubles)."""
+    from mapping_analysis_spark.streaming.music_job import MusicIncrementalJob
+
+    def label4(blk):
+        out = []
+        for _ in range(4):
+            out.append(chr(97 + blk % 26))
+            blk //= 26
+        return "".join(out)
+
+    n, per_block = 2000, 20
+    bulk = [
+        (
+            i,
+            f"{label4(i % (n // per_block))} "
+            f"{i * 2654435761 % 2**32:08x} {i * 40503 % 65536:04x}",
+            1 << (i % 5),
+        )
+        for i in range(n)
+    ]
+    schema = "rid long, ata string, smask long"
+    job = MusicIncrementalJob(spark, str(tmp_path / "state"), track_scans=True)
+    job.process_batch(spark.createDataFrame(bulk, schema), 0)
+
+    # increment: 10 records in 10 distinct blocks (duplicates of bulk rows)
+    inc = [
+        (
+            1_000_000 + j,
+            bulk[j * 17][1],
+            1 << ((j * 17 + 1) % 5),
+        )
+        for j in range(10)
+    ]
+    touched_blocks = {bulk[j * 17][1][:4] for j in range(10)}
+    for st in job._tables:
+        st.reset_scan_stats()
+    job.process_batch(spark.createDataFrame(inc, schema), 1)
+
+    reps_read = job.reps.scan_stats["read_rows"]
+    post_read = job.rep_blocks.scan_stats["read_rows"]
+    # each touched block holds `per_block` reps; one delta dir so no
+    # multi-version inflation yet — the read is the blocks' footprint
+    expect = len(touched_blocks) * per_block
+    assert reps_read == expect, (reps_read, expect)
+    assert post_read == expect, (post_read, expect)
+    assert reps_read * 8 < n  # far below total state
+    # and the merges actually happened
+    got = {
+        (int(r["rid"]), int(r["cluster_rid"])) for r in job.result().collect()
+    }
+    for j in range(10):
+        assert (1_000_000 + j, j * 17) in got
