@@ -2188,6 +2188,158 @@ FROM ranked WHERE ra = 1 AND rb = 1
 """
 
 
+_GEO_VERTICES = (
+    "/root/reference/analysis-core/src/test/resources/data/geography/"
+    "vertices/vertices.json"
+)
+
+
+def q_geo_settlement_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geography-domain MULTI initial preprocessing on the reference's real
+    4-source settlement graph (``IncrementalGeoClusteringTest.java``
+    ``allSettlementsAtOnceTest`` front half): JSON vertices →
+    InternalTypeMapFunction (TypeDictionary) → geo blocking label →
+    same-block pairs → GeoSimilarityFunction (trigram label + 6-dp geo
+    distance + type shading sims, present-only mean) → strict > 0.6
+    admission. Ignores ``sf_dir`` — the input is the checked-in 3,054-vertex
+    reference fixture. Output: (a, b, sim_e6). The greedy source-disjoint
+    selection + CC + gold F1 0.976 live in
+    ``tests/test_geo_settlement.py`` (union-find, not SQL-expressible)."""
+    from mapping_analysis_spark.geo import geo_scored_edges, read_geo_vertices
+
+    v = read_geo_vertices(spark, _GEO_VERTICES)
+    return geo_scored_edges(v).select(
+        "a", "b", sim_e6(F.col("sim")).alias("sim_e6")
+    )
+
+
+def _sql_geo_settlement_edges() -> str:
+    """DuckDB replay of q_geo_settlement_edges: same JSON parse (mixed
+    string/array ``type`` field), same TypeDictionary mapping, same
+    blocking-label grammar, same simmetrics trigram / haversine-6dp / type
+    shading sims and present-only mean (scale-10 HALF_UP)."""
+    from mapping_analysis_spark.functions.sqlgen import trigrams_sql
+    from mapping_analysis_spark.functions.attr_sims import TYPE_SHADINGS
+    from mapping_analysis_spark.geo import _PRIMARY_TYPE, _SECONDARY_TYPE
+
+    esc = lambda x: x.replace("'", "''")  # noqa: E731
+    dict_vals = ", ".join(
+        f"('{esc(k)}', '{esc(v)}')"
+        for k, v in list(_PRIMARY_TYPE.items()) + list(_SECONDARY_TYPE.items())
+    )
+    # Utils.simplify — ASCII-punctuation-only (accents and non-ASCII quotes
+    # kept), lowercase, collapse whitespace
+    def simp(c: str) -> str:
+        return (
+            f"trim(regexp_replace(regexp_replace(lower({c}), "
+            f"'[[:punct:]]', ' ', 'g'), '\\s+', ' ', 'g'))"
+        )
+
+    A, B = trigrams_sql("va.label_norm"), trigrams_sql("vb.label_norm")
+    dot = (
+        f"COALESCE(list_sum(list_transform(list_distinct({A}), g -> "
+        f"LEAST(len(list_filter({A}, t -> t = g)), "
+        f"len(list_filter({B}, t -> t = g))))), 0)"
+    )
+    tri = (
+        f"CAST(CAST({dot} / (sqrt(length(va.label_norm) + 2) * "
+        f"sqrt(length(vb.label_norm) + 2)) AS REAL) AS DOUBLE)"
+    )
+    sane = (
+        lambda c: f"({c} IS NOT NULL AND {c} NOT IN "
+        f"('no_label_found', 'no_value', '--'))"
+    )
+    sim_label = (
+        f"CASE WHEN {sane('va.label')} AND {sane('vb.label')} "
+        f"THEN floor({tri} * 1000000 + 0.5) / 1000000 END"
+    )
+    valid = (
+        lambda p: f"({p}.lat IS NOT NULL AND {p}.lon IS NOT NULL "
+        f"AND abs({p}.lat) <= 90 AND abs({p}.lon) <= 180)"
+    )
+    hav = (
+        "(6371.0 * 2 * atan2(sqrt("
+        "pow(sin(radians(vb.lat - va.lat) / 2), 2) + cos(radians(va.lat)) * "
+        "cos(radians(vb.lat)) * pow(sin(radians(vb.lon - va.lon) / 2), 2)"
+        "), sqrt(1 - ("
+        "pow(sin(radians(vb.lat - va.lat) / 2), 2) + cos(radians(va.lat)) * "
+        "cos(radians(vb.lat)) * pow(sin(radians(vb.lon - va.lon) / 2), 2)"
+        "))) * 1000.0)"
+    )
+    sim_geo = (
+        f"CASE WHEN {valid('va')} AND {valid('vb')} THEN "
+        f"CASE WHEN {hav} >= 150000.0 THEN 0.0 "
+        f"ELSE floor((1.0 - {hav} / 150000.0) * 1000000 + 0.5) / 1000000 END END"
+    )
+    shading = " OR ".join(
+        f"(list_contains(va.types, '{x}') AND list_contains(vb.types, '{y}')) "
+        f"OR (list_contains(va.types, '{y}') AND list_contains(vb.types, '{x}'))"
+        for x, y in TYPE_SHADINGS
+    )
+    sim_type = (
+        "CASE WHEN NOT list_contains(va.types, 'no_type') "
+        "AND NOT list_contains(vb.types, 'no_type') THEN "
+        f"CASE WHEN len(list_intersect(va.types, vb.types)) > 0 OR {shading} "
+        "THEN 1.0 ELSE 0.0 END END"
+    )
+    block = (
+        "rpad(regexp_replace(lower(substr(rpad(label, 4, '#'), 1, 4)), "
+        "'[^a-z0-9#]+', '#', 'g'), 4, '#')"
+    )
+    return f"""
+WITH raw AS (
+  SELECT id AS rid,
+    data."label" AS label,
+    data.lat AS lat, data.lon AS lon,
+    CASE WHEN data."type" IS NULL THEN NULL
+         WHEN json_type(data."type") = 'ARRAY' THEN CAST(data."type" AS VARCHAR[])
+         ELSE [json_extract_string(data."type", '$')] END AS types_raw,
+    json_extract_string(data.typeDetail, '$') AS type_detail
+  FROM read_json_auto('{_GEO_VERTICES}', format='newline_delimited')
+), tdict(raw_t, intern) AS (VALUES {dict_vals}),
+thits AS (
+  SELECT u.rid, list_distinct(list(d.intern)) AS hits
+  FROM (SELECT rid, unnest(types_raw) AS raw_t FROM raw) u
+  JOIN tdict d USING (raw_t) GROUP BY u.rid
+),
+dhits AS (
+  SELECT r.rid, list_distinct(list(d.intern)) AS hits
+  FROM raw r JOIN tdict d ON r.type_detail = d.raw_t GROUP BY r.rid
+),
+v AS (
+  SELECT r.rid, r.label, {simp('r.label')} AS label_norm, r.lat, r.lon,
+    CASE WHEN r.type_detail IS NOT NULL AND dhits.hits IS NOT NULL
+           THEN dhits.hits
+         WHEN r.types_raw IS NOT NULL AND len(r.types_raw) > 0
+           THEN coalesce(thits.hits, ['no_type'])
+         ELSE ['no_type'] END AS types,
+    {block} AS block
+  FROM raw r
+  LEFT JOIN dhits ON r.rid = dhits.rid
+  LEFT JOIN thits ON r.rid = thits.rid
+),
+pairs AS (
+  SELECT va.rid AS a, vb.rid AS b
+  FROM v va JOIN v vb ON va.block = vb.block AND va.rid < vb.rid
+),
+scored AS (
+  SELECT p.a, p.b, {sim_label} AS sl, {sim_geo} AS sg, {sim_type} AS st
+  FROM pairs p JOIN v va ON va.rid = p.a JOIN v vb ON vb.rid = p.b
+),
+agg AS (
+  SELECT a, b,
+    floor(((coalesce(sl, 0) + coalesce(sg, 0) + coalesce(st, 0)) /
+      (CASE WHEN sl IS NOT NULL THEN 1 ELSE 0 END +
+       CASE WHEN sg IS NOT NULL THEN 1 ELSE 0 END +
+       CASE WHEN st IS NOT NULL THEN 1 ELSE 0 END)) * 1e10 + 0.5) / 1e10 AS sim
+  FROM scored
+  WHERE sl IS NOT NULL OR sg IS NOT NULL OR st IS NOT NULL
+)
+SELECT a, b, CAST(floor(sim * 1000000.0 + 0.5) AS BIGINT) AS sim_e6
+FROM agg WHERE sim > 0.6
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "conv_records": q_conv_records,
@@ -2229,6 +2381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_candidate_creator": q_conv_candidate_creator,
         "nc_csimq_edges": q_nc_csimq_edges,
         "music_csimq_edges": q_music_csimq_edges,
+        "geo_settlement_edges": q_geo_settlement_edges,
     }
 
 
@@ -2275,4 +2428,5 @@ def oracle_sql() -> dict[str, str]:
         "conv_candidate_creator": _sql_conv_candidate_creator(),
         "nc_csimq_edges": _sql_nc_csimq_edges(),
         "music_csimq_edges": _sql_music_csimq_edges(),
+        "geo_settlement_edges": _sql_geo_settlement_edges(),
     }
