@@ -46,6 +46,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from mapping_analysis_spark.functions.attr_sims import geo_similarity, type_sim
 from mapping_analysis_spark.io.csv_source import simplify_music
@@ -307,12 +308,20 @@ def geo_blocking_label(
     return F.rpad(cleaned, blocking_length, "#")
 
 
-def read_geo_vertices(spark: SparkSession, path: str) -> DataFrame:
+def read_geo_vertices(
+    spark: SparkSession, path: str, map_types: bool = True
+) -> DataFrame:
     """Geography JSON vertices → (rid, label, lat, lon, source, types).
 
     The raw ``type`` field is a string for GeoNames rows and an array for
     the RDF sources — read both shapes via the JSON string and normalize to
-    an array before the dictionary mapping."""
+    an array before the dictionary mapping.
+
+    ``map_types=False`` skips ``InternalTypeMapFunction`` (every vertex gets
+    ["no_type"]) — the incremental integration test reads the graph WITHOUT
+    the type mapping (``IncrementalGeoClusteringTest.java:123-125`` has no
+    ``mapVertices(new InternalTypeMapFunction())``), which makes the
+    VERTEX_ADDITION Settlement-default the only type in play."""
     raw = spark.read.text(path)
     rid = F.get_json_object("value", "$.id").cast("long")
     type_raw = F.get_json_object("value", "$.data.type")
@@ -330,9 +339,12 @@ def read_geo_vertices(spark: SparkSession, path: str) -> DataFrame:
         types.alias("types_raw"),
         F.get_json_object("value", "$.data.typeDetail").alias("type_detail"),
     )
-    return v.withColumn(
-        "types", internal_types(F.col("types_raw"), F.col("type_detail"))
-    ).drop("types_raw", "type_detail")
+    typed = (
+        internal_types(F.col("types_raw"), F.col("type_detail"))
+        if map_types
+        else F.array(F.lit(NO_TYPE))
+    )
+    return v.withColumn("types", typed).drop("types_raw", "type_detail")
 
 
 def _sane(col: Column) -> Column:
@@ -464,4 +476,225 @@ def geo_settlement_quality(
         pred_group="cluster_id",
         gold_group="gold_id",
         member_col="rid",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental VERTEX_ADDITION flow (IncrementalGeoClusteringTest.java
+# incrementalVertexAdditionClusteringTest — published P 0.9961 / R 0.9406 /
+# F1 0.9676): initial clustering on 80% of GN+NYT+DBP, then three
+# VERTEX_ADDITION waves (+10%, all of Freebase, final 10%). Each wave:
+# existing representatives ∪ new singletons → blocking-key edges →
+# GeoSimilarityFunction mean > 0.6 → greedy source-disjoint selection →
+# GeographicMajorityPropertiesGroupReduceFunction re-merge.
+# ---------------------------------------------------------------------------
+
+GN_NS = "http://sws.geonames.org/"
+DBP_NS = "http://dbpedia.org/"
+
+
+def geo_singletons(wave: DataFrame, settlement_default: bool) -> DataFrame:
+    """Wave vertices → singleton representatives.
+
+    ``settlement_default`` applies the VERTEX_ADDITION geography map
+    (``MultiIncrementalClusteringFunction.java:92-103``): an untyped new
+    element gets typeIntern {"Settlement"}. The incremental test never runs
+    ``InternalTypeMapFunction``, so every raw wave vertex is untyped and the
+    default fires for all of them; the initial (80%) wave keeps
+    ["no_type"] (the INITIAL_CLUSTERING branch has no such map)."""
+    types = F.when(
+        F.array_contains(F.col("types"), NO_TYPE) & F.lit(settlement_default),
+        F.array(F.lit("Settlement")),
+    ).otherwise(F.col("types"))
+    return wave.select(
+        "rid",
+        "label",
+        "lat",
+        "lon",
+        F.array(F.col("source")).alias("sources"),
+        F.array(F.col("rid")).alias("members"),
+        types.alias("types"),
+    )
+
+
+def _geo_rep_merge(workset: DataFrame, assign: DataFrame) -> DataFrame:
+    """``GeographicMajorityPropertiesGroupReduceFunction``: group workset
+    constituents by selected component and merge —
+
+    * id = min underlying member id (``updateVertexId`` min over
+      constituents, whose ids are already min-of-members);
+    * members / sources / types = unions;
+    * label = majority over the constituents' SIMPLIFIED labels (one vote
+      per constituent, ``addLabelToMap``); count ties prefer the longer
+      label (``Utils.getFinalValue``), residual ties lexicographically
+      smallest (the Java iteration order is unspecified there);
+    * lat/lon = the valid-coordinate constituent owning GeoNames, else
+      DBpedia, else the lexicographically smallest source
+      (``ObjectMap.setGeoProperties(geoMap)``; the reference's final
+      fallback is ``entry.hashCode()`` — JVM-identity, unspecified — so the
+      smallest-source stand-in is our deterministic rendering; constituents
+      of one cluster have DISJOINT source sets, so each geoMap key has
+      exactly one contributor and the GN/DBP branches are exact)."""
+    j = (
+        workset.join(
+            assign.withColumnRenamed("rid", "_wid"),
+            workset["rid"] == F.col("_wid"),
+            "left",
+        )
+        .withColumn("comp", F.coalesce(F.col("comp"), F.col("rid")))
+        .drop("_wid")
+    )
+    base = j.groupBy("comp").agg(
+        F.array_distinct(F.flatten(F.collect_list("members"))).alias("members"),
+        F.array_distinct(F.flatten(F.collect_list("sources"))).alias("sources"),
+        F.array_distinct(F.flatten(F.collect_list("types"))).alias("types"),
+    )
+    votes = (
+        j.withColumn("_lab", simplify_music(F.col("label")))
+        .groupBy("comp", "_lab")
+        .agg(F.count("*").alias("_n"))
+    )
+    wlab = Window.partitionBy("comp").orderBy(
+        F.col("_n").desc(), F.length("_lab").desc(), F.col("_lab").asc()
+    )
+    best_label = (
+        votes.withColumn("_rn", F.row_number().over(wlab))
+        .filter(F.col("_rn") == 1)
+        .select("comp", F.col("_lab").alias("label"))
+    )
+    valid = (
+        F.col("lat").isNotNull()
+        & F.col("lon").isNotNull()
+        & (F.abs(F.col("lat")) <= 90.0)
+        & (F.abs(F.col("lon")) <= 180.0)
+    )
+    wgeo = Window.partitionBy("comp").orderBy(
+        F.when(F.array_contains(F.col("sources"), GN_NS), 0)
+        .when(F.array_contains(F.col("sources"), DBP_NS), 1)
+        .otherwise(2),
+        F.array_min("sources").asc(),
+        F.col("rid").asc(),
+    )
+    best_geo = (
+        j.filter(valid)
+        .withColumn("_rn", F.row_number().over(wgeo))
+        .filter(F.col("_rn") == 1)
+        .select("comp", "lat", "lon")
+    )
+    return (
+        base.join(best_label, "comp")
+        .join(best_geo, "comp", "left")
+        .select(
+            F.array_min("members").alias("rid"),
+            "label",
+            "lat",
+            "lon",
+            "sources",
+            "members",
+            "types",
+        )
+    )
+
+
+def _rep_masks(workset: DataFrame, bit_map: Column) -> DataFrame:
+    return workset.withColumn(
+        "mask",
+        F.aggregate(
+            F.col("sources"), F.lit(0).cast("long"), lambda acc, s: acc + bit_map[s]
+        ),
+    )
+
+
+def geo_cluster_wave(workset: DataFrame, bit_map: Column) -> DataFrame:
+    """One MULTI wave over a representative workset: blocking-key pairs →
+    GeoSimilarityFunction mean > 0.6 admission → greedy source-disjoint
+    selection → GeographicMajority re-merge. Works for the initial wave
+    (all-singleton workset) and every VERTEX_ADDITION wave alike."""
+    blocked = workset.withColumn("block", geo_blocking_label(F.col("label")))
+    pairs = all_edges_per_key(blocked, "block", id_col="rid")
+    scored = geo_pair_sims(workset, pairs).filter(
+        F.col("sim") > F.lit(GEO_EDGE_ADMISSION)
+    )
+    masked = _rep_masks(workset, bit_map)
+    edges = (
+        scored.join(
+            masked.select(F.col("rid").alias("a"), F.col("mask").alias("a_mask")),
+            "a",
+        )
+        .join(
+            masked.select(F.col("rid").alias("b"), F.col("mask").alias("b_mask")),
+            "b",
+        )
+        .select("a", "b", "sim", "a_mask", "b_mask")
+    )
+    assign = greedy_source_link_selection(edges)
+    return _geo_rep_merge(workset, assign)
+
+
+def parse_geo_splits(java_test_path: str) -> dict[str, list[int]]:
+    """Extract the 80/10/final id sets from the reference's integration test
+    (data, not code: the split definitions live inline as
+    ``Sets.newHashSet(6110L, ...)`` literals)."""
+    import re
+
+    text = open(java_test_path).read()
+    out: dict[str, list[int]] = {}
+    for m in re.finditer(
+        r"(GN|DBP|NYT|FB)_(EIGHTY|PLUS_TEN|FINAL)\s*=\s*Sets\.newHashSet\(([^)]*)\)",
+        text,
+        re.S,
+    ):
+        ids = [int(x) for x in re.findall(r"(\d+)L", m.group(3))]
+        out[f"{m.group(1)}_{m.group(2)}"] = ids
+    return out
+
+
+def geo_incremental_quality(
+    spark: SparkSession,
+    data_path: str,
+    gold_path: str,
+    java_test_path: str,
+) -> DataFrame:
+    """The full 4-wave incremental settlement benchmark; returns the
+    pair-quality row of the final state (published anchor P 0.9961 /
+    R 0.9406 / F1 0.9676)."""
+    splits = parse_geo_splits(java_test_path)
+    raw = read_geo_vertices(spark, data_path, map_types=False).localCheckpoint(
+        eager=True
+    )
+    sources = [r[0] for r in sorted(raw.select("source").distinct().collect())]
+    bit_map = F.create_map(
+        *[c for i, s in enumerate(sources) for c in (F.lit(s), F.lit(1 << i))]
+    )
+
+    def wave_ids(names: list[str]) -> list[int]:
+        ids: list[int] = []
+        for n in names:
+            ids.extend(splits[n])
+        return ids
+
+    waves = [
+        (wave_ids(["GN_EIGHTY", "NYT_EIGHTY", "DBP_EIGHTY"]), False),
+        (wave_ids(["GN_PLUS_TEN", "NYT_PLUS_TEN", "DBP_PLUS_TEN"]), True),
+        (wave_ids(["FB_EIGHTY", "FB_PLUS_TEN", "FB_FINAL"]), True),
+        (wave_ids(["GN_FINAL", "DBP_FINAL", "NYT_FINAL"]), True),
+    ]
+    reps: DataFrame | None = None
+    for ids, settlement_default in waves:
+        wave = raw.join(
+            spark.createDataFrame([(i,) for i in ids], "rid long"), "rid", "left_semi"
+        )
+        singles = geo_singletons(wave, settlement_default)
+        workset = singles if reps is None else reps.unionByName(singles)
+        reps = geo_cluster_wave(workset, bit_map).localCheckpoint(eager=True)
+
+    clusters = reps.select(
+        F.col("rid").alias("cluster_id"), F.explode("members").alias("rid")
+    )
+    gold = spark.read.json(gold_path).select(
+        F.col("id").alias("gold_id"),
+        F.explode("data.clusteredVertices").alias("rid"),
+    )
+    return pair_quality(
+        clusters, gold, pred_group="cluster_id", gold_group="gold_id", member_col="rid"
     )

@@ -105,3 +105,71 @@ def test_geo_settlement_all_at_once_quality(spark):
     assert abs(q["precision_e6"] / 1e6 - 0.9969) < 1e-3
     assert abs(q["recall_e6"] / 1e6 - 0.9556) < 1e-3
     assert abs(q["f1_e6"] / 1e6 - 0.9758) < 1e-3
+
+
+JAVA_TEST = (
+    "/root/reference/analysis-core/src/test/java/org/mappinganalysis/"
+    "integration/IncrementalGeoClusteringTest.java"
+)
+
+
+def test_geo_incremental_vertex_addition_quality(spark):
+    """4-wave incremental settlement benchmark
+    (``incrementalVertexAdditionClusteringTest``: 80% of GN+NYT+DBP →
+    +10% → all of Freebase → final 10%, all VERTEX_ADDITION waves).
+    Reference publishes P 0.9961 / R 0.9406 / F1 0.9676 and asserts the
+    per-phase clustered-vertex totals 1825 / 2828 / 3054."""
+    from pyspark.sql import functions as F
+
+    from mapping_analysis_spark.geo import (
+        geo_cluster_wave,
+        geo_incremental_quality,
+        geo_singletons,
+        parse_geo_splits,
+        read_geo_vertices,
+    )
+
+    splits = parse_geo_splits(JAVA_TEST)
+    raw = read_geo_vertices(spark, GEO_VERTICES, map_types=False).localCheckpoint(
+        eager=True
+    )
+    sources = [r[0] for r in sorted(raw.select("source").distinct().collect())]
+    bit_map = F.create_map(
+        *[c for i, s in enumerate(sources) for c in (F.lit(s), F.lit(1 << i))]
+    )
+
+    def members_total(reps):
+        ex = reps.select(F.explode("members").alias("m"))
+        n = ex.count()
+        assert ex.distinct().count() == n  # no duplicates across clusters
+        return n
+
+    def run_wave(reps, names, settlement_default):
+        ids = [i for n in names for i in splits[n]]
+        wave = raw.join(
+            spark.createDataFrame([(i,) for i in ids], "rid long"),
+            "rid",
+            "left_semi",
+        )
+        singles = geo_singletons(wave, settlement_default)
+        workset = singles if reps is None else reps.unionByName(singles)
+        return geo_cluster_wave(workset, bit_map).localCheckpoint(eager=True)
+
+    reps = run_wave(None, ["GN_EIGHTY", "NYT_EIGHTY", "DBP_EIGHTY"], False)
+    assert members_total(reps) == 1825  # reference firstStepDataSize
+    reps = run_wave(reps, ["GN_PLUS_TEN", "NYT_PLUS_TEN", "DBP_PLUS_TEN"], True)
+    reps = run_wave(reps, ["FB_EIGHTY", "FB_PLUS_TEN", "FB_FINAL"], True)
+    assert members_total(reps) == 2828  # reference third-phase assertion
+    reps = run_wave(reps, ["GN_FINAL", "DBP_FINAL", "NYT_FINAL"], True)
+    assert members_total(reps) == 3054
+
+    q = geo_incremental_quality(
+        spark, GEO_VERTICES, GOLD_CLUSTERS, JAVA_TEST
+    ).collect()[0]
+    assert q["tp"] == 4129
+    assert q["n_pred"] == 4148
+    assert q["f1_e6"] == 967092
+    # published anchor within 1e-3 on every component
+    assert abs(q["precision_e6"] / 1e6 - 0.9961) < 1e-3
+    assert abs(q["recall_e6"] / 1e6 - 0.9406) < 1e-3
+    assert abs(q["f1_e6"] / 1e6 - 0.9676) < 1e-3
