@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from mapping_analysis_spark.data.transcripts import SYNTH_ROOT, ensure_transcripts
 from mapping_analysis_spark.functions import sqlgen
-from mapping_analysis_spark.functions.simfns import make_minhash_udf, trigram_cosine
+from mapping_analysis_spark.functions.simfns import trigram_cosine
 from mapping_analysis_spark.functions.text import (
     blocking_key,
     distinct_tokens,
@@ -28,9 +28,9 @@ from mapping_analysis_spark.functions.text import (
     sim_e6,
     token_set_jaccard,
 )
-from mapping_analysis_spark.operators.blocking import lsh_band_pairs
 from mapping_analysis_spark.operators.clustering import connected_components
 from mapping_analysis_spark.pipeline import (
+    BROADCAST_MAX_RECORDS,
     DEFAULT_MAX_BLOCK_SIZE,
     DEFAULT_THRESHOLD,
     conversation_records,
@@ -617,21 +617,6 @@ FROM {T_SQL} GROUP BY text HAVING count(*) > 1
 # Documents: near-dup detection + text analysis
 # ---------------------------------------------------------------------------
 
-def _doc_shingles(df: DataFrame) -> DataFrame:
-    tk = F.split(F.col("text"), " ")
-    # try_element_at: docs shorter than the shingle width yield one truncated
-    # shingle (ANSI element_at would throw; concat_ws skips the NULLs) —
-    # matches the DuckDB oracle's concat_ws, pinned by
-    # tests/test_functions.py::test_short_doc_shingle_parity.
-    sh = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.lit(1), F.size(tk) - 2)),
-        lambda i: F.concat_ws(
-            " ", F.try_element_at(tk, i), F.try_element_at(tk, i + 1), F.try_element_at(tk, i + 2)
-        ),
-    )
-    return df.withColumn("sg", F.array_distinct(sh))
-
-
 _DOC_SHINGLES_SQL = """
 sh AS (
   -- concat_ws skips NULL out-of-range elements in BOTH engines, so a
@@ -651,29 +636,12 @@ def q_doc_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard >= 0.5. LSH (32 bands × 1 row) misses a 0.5-Jaccard pair with
     probability (1-0.5)^32 ≈ 2e-10, so the output equals the brute-force
     oracle while staying subquadratic at scale."""
+    from mapping_analysis_spark.operators.dedup import minhash_lsh_dedup
+
     docs = _tbl(spark, sf_dir, "documents")
-    sh = _doc_shingles(docs).select(
-        F.col("doc_id").cast("string").alias("rid"), "sg"
-    )
-    mh = make_minhash_udf(num_hashes=32, shingle_width=1)
-    sig = sh.select("rid", mh(F.col("sg")).alias("minhash"))
-    cand = lsh_band_pairs(sig, bands=32, rows_per_band=1)
-    a = sh.select(F.col("rid").alias("a_rid"), F.col("sg").alias("a_sg"))
-    b = sh.select(F.col("rid").alias("b_rid"), F.col("sg").alias("b_sg"))
-    verified = (
-        cand.join(a, "a_rid")
-        .join(b, "b_rid")
-        .withColumn("sim", token_set_jaccard(F.col("a_sg"), F.col("b_sg")))
-        .filter(F.col("sim") >= 0.5)
-    )
-    # rid is a string (lexicographic pair order) — renormalize numerically
-    # so (a_doc, b_doc) matches the oracle's doc_id < doc_id convention.
-    an, bn = F.col("a_rid").cast("long"), F.col("b_rid").cast("long")
-    return verified.select(
-        F.least(an, bn).alias("a_doc"),
-        F.greatest(an, bn).alias("b_doc"),
-        sim_e6(F.col("sim")).alias("sim_e6"),
-    )
+    v = minhash_lsh_dedup(docs, text_col="text", id_col="doc_id", threshold=0.5,
+                          shingle_width=3, bands=32)
+    return v.select("a_doc", "b_doc", sim_e6(F.col("sim")).alias("sim_e6"))
 
 
 SQL_DOC_NEARDUP = f"""
@@ -1078,7 +1046,9 @@ def q_conv_idf_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     the share graph gives block ids."""
     from mapping_analysis_spark.operators.decomposition import idf_blocking
 
-    return idf_blocking(_record_tokens(spark, sf_dir), top_k=2, support=2)
+    return idf_blocking(
+        _record_tokens(spark, sf_dir), top_k=2, support=2, tokens_distinct=True
+    )
 
 
 SQL_CONV_IDF_BLOCKING = f"""
@@ -1316,12 +1286,19 @@ def q_conv_candidate_creator(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapping_analysis_spark.operators.candidates import candidate_creator
 
     assign = q_conv_dedup_blocked(spark, sf_dir).select("conv_id", "cluster_id")
+    # the assignment is checkpointed by its producer — its exact count gates
+    # the dimension-sized broadcast plan (pipeline.BROADCAST_MAX_RECORDS)
+    small = assign.count() <= BROADCAST_MAX_RECORDS
     clusters = assign.select(F.col("cluster_id").alias("cid")).distinct()
     rec = conversation_records(_t(spark, sf_dir)).select("rid", "label")
     attrs = _attr_records(spark, sf_dir).select("rid", "lat", "lon")
+    rec_c = rec.withColumnRenamed("rid", "cid")
+    attrs_c = attrs.withColumnRenamed("rid", "cid")
+    if small:
+        rec_c, attrs_c = F.broadcast(rec_c), F.broadcast(attrs_c)
     reps = (
-        clusters.join(rec.withColumnRenamed("rid", "cid"), "cid")
-        .join(attrs.withColumnRenamed("rid", "cid"), "cid")
+        clusters.join(rec_c, "cid")
+        .join(attrs_c, "cid")
         .withColumn("cbk", blocking_key(F.col("label"), 4))
     )
     ok = (
@@ -1329,10 +1306,14 @@ def q_conv_candidate_creator(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("count") <= _CAND_BLOCK_CAP)
         .select("cbk")
     )
-    r2 = reps.join(F.broadcast(ok), "cbk", "left_semi")
+    # checkpoint: the block self-join consumes r2 on BOTH sides — without it
+    # Catalyst re-executes the 3-join representative subtree twice
+    r2 = reps.join(F.broadcast(ok), "cbk", "left_semi").localCheckpoint(eager=True)
     cols = ("cid", "label", "lat", "lon")
     a = r2.select("cbk", *[F.col(c).alias(f"a_{c}") for c in cols])
     b = r2.select("cbk", *[F.col(c).alias(f"b_{c}") for c in cols])
+    if small:
+        b = F.broadcast(b)
     pr = a.join(b, "cbk").filter(F.col("a_cid") < F.col("b_cid"))
     l = sim_e6(trigram_cosine(F.col("a_label"), F.col("b_label")))
     g = sim_e4(
@@ -1343,7 +1324,11 @@ def q_conv_candidate_creator(spark: SparkSession, sf_dir: str) -> DataFrame:
         "b_cid",
         F.when(g.isNull(), l.cast("double")).otherwise((l + g * 100) / 2.0).alias("sim"),
     ).localCheckpoint(eager=True)
-    out = candidate_creator(scored, clusters, threshold=float(_CAND_THRESHOLD_E6))
+    # checkpoint: consumed twice below (cross pairs + self-triplets) — without
+    # it the whole operator chain (CC + per-block Hungarian) executes twice
+    out = candidate_creator(
+        scored, clusters, threshold=float(_CAND_THRESHOLD_E6)
+    ).localCheckpoint(eager=True)
 
     # oracle-tractability restriction (both engines): only blocks with <= 12
     # scored triplets are emitted; self-triplet blocks always qualify
@@ -1838,7 +1823,9 @@ def q_conv_type_overlap_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("conv_id").alias("rid"), F.col("cluster_id").alias("comp")
     )
     attrs = _attr_records(spark, sf_dir).select("rid", "types")
-    vertices = assign.join(attrs, "rid")
+    # checkpoint: type_overlap_cc consumes its vertex table twice (type-key
+    # explode + final assignment join) — don't re-execute the join subtree
+    vertices = assign.join(attrs, "rid").localCheckpoint(eager=True)
     return type_overlap_cc(vertices)
 
 
@@ -1908,7 +1895,9 @@ def q_conv_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("comp", F.coalesce(F.col("comp"), F.col("rid")))
     )
     attrs = _attr_records(spark, sf_dir).select("rid", "types")
-    tcc = type_overlap_cc(assign.join(attrs, "rid"), comp_col="comp").withColumnRenamed(
+    # checkpoint: type_overlap_cc consumes its vertex table twice
+    vertices = assign.join(attrs, "rid").localCheckpoint(eager=True)
+    tcc = type_overlap_cc(vertices, comp_col="comp").withColumnRenamed(
         "type_cc", "comp"
     )
     refined = clustering_link_filter(

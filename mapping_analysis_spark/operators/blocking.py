@@ -148,9 +148,16 @@ def lsh_band_pairs(
     id_col: str = "rid",
     bands: int = 16,
     rows_per_band: int = 1,
+    broadcast_ok: bool = False,
 ) -> DataFrame:
     """MinHash-LSH banding: records sharing any band hash become a candidate
     pair. Returns distinct (a_<id>, b_<id>) — join payloads back afterwards.
+
+    ``broadcast_ok=True`` (caller has verified the record table is
+    dimension-sized, e.g. ``pipeline.BROADCAST_MAX_RECORDS``): the band
+    table's build side is broadcast and the pre-join repartition is skipped —
+    at micro-batch scale both are pure overhead. Default keeps the shuffled
+    bucket join, the 100 TB shape.
 
     With ``rows_per_band=1`` and b bands the miss probability for a pair of
     Jaccard j is (1-j)^b — at j=0.7, b=16 → 4e-9, so exact-verification after
@@ -172,10 +179,11 @@ def lsh_band_pairs(
     # pin the bucket-join parallelism: the banded table compresses to a few
     # MB, so AQE coalesces the join to ~4 tasks while the join itself fans
     # out quadratically inside hot buckets (measured 20 s 3-core stall)
-    n_part = records.sparkSession.sparkContext.defaultParallelism * 2
-    banded = banded.repartition(n_part, "band_idx", "band_hash")
+    if not broadcast_ok:
+        n_part = records.sparkSession.sparkContext.defaultParallelism * 2
+        banded = banded.repartition(n_part, "band_idx", "band_hash")
     a = banded.alias("a")
-    b = banded.alias("b")
+    b = F.broadcast(banded.alias("b")) if broadcast_ok else banded.alias("b")
     pairs = (
         a.join(
             b,

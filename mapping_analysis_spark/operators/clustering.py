@@ -132,7 +132,12 @@ def connected_components(
     if not comp:
         return spark.createDataFrame([], out_schema)
     out = pd.DataFrame({"node": list(comp.keys()), "comp": list(comp.values())})
-    return spark.createDataFrame(out, schema=out_schema)
+    # The driver path only runs when the edge set fit in driver memory, so
+    # the component map is broadcast-sized by construction — the hint turns
+    # every downstream node-assignment join (assign_cluster_ids) into a
+    # shuffle-free broadcast join. The distributed path above returns an
+    # unhinted frame and keeps its shuffle join.
+    return F.broadcast(spark.createDataFrame(out, schema=out_schema))
 
 
 def _edge_sig(df: DataFrame) -> tuple:

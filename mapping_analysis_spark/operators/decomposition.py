@@ -34,12 +34,19 @@ def idf_blocking(
     top_k: int = 2,
     support: int = 2,
     min_df: int = 1,
+    tokens_distinct: bool = False,
 ) -> DataFrame:
     """Returns (id_col, idf_block) for records that share >= ``support``
     high-IDF tokens with at least one other record; others are absent
     (caller unions a fallback key).
+
+    ``tokens_distinct=True``: the caller guarantees each record's token array
+    is already deduplicated (e.g. ``distinct_tokens`` output) — skips a full
+    shuffle of the exploded (id, tok) table.
     """
-    tok = records.select(F.col(id_col), F.explode(F.col(tokens_col)).alias("tok")).distinct()
+    tok = records.select(F.col(id_col), F.explode(F.col(tokens_col)).alias("tok"))
+    if not tokens_distinct:
+        tok = tok.distinct()
     df_counts = tok.groupBy("tok").agg(F.count("*").alias("df")).filter(F.col("df") >= min_df)
     # idf desc ≡ document-frequency asc — rank on the integer so results are
     # engine-exact (float log() rounding differs across libm implementations)

@@ -50,15 +50,47 @@ def minhash_lsh_dedup(
     bands: int = 32,
 ) -> DataFrame:
     """MinHash-LSH candidates over word shingles, exact-verified Jaccard >=
-    threshold. Miss probability per true pair: (1-threshold)^bands."""
-    sh = word_shingles(df, text_col, shingle_width).select(
-        F.col(id_col).cast("string").alias("rid"), "sg"
+    threshold. Miss probability per true pair: (1-threshold)^bands.
+
+    The MinHash signature is computed over JVM-hashed shingles
+    (``pmod(xxhash64, 2^32)`` — the Arrow batch ships int64 arrays and the
+    Python kernel is pure vectorized modmul; shipping string shingles costs a
+    per-shingle Python crc32, measured as the dominant stage on the
+    documents table). Verification stays on the exact *string* shingle sets,
+    so the output is hash-basis-independent: any candidate-set difference is
+    a fresh LSH miss at probability (1-threshold)^bands per true pair.
+
+    The shingle table feeds three consumers (signatures + both verify
+    probes) — checkpointed once; its exact row count then gates the
+    dimension-sized broadcast plan (see ``pipeline.BROADCAST_MAX_RECORDS``).
+    """
+    from mapping_analysis_spark.pipeline import BROADCAST_MAX_RECORDS
+
+    # A small parquet input arrives as a single split, which would pin the
+    # shingle + signature stage (the CPU-heavy part) to ONE core — fan it out
+    # to the cluster's parallelism first. No-op at scale: a 100 TB table
+    # already has orders of magnitude more splits than cores.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    sh = (
+        word_shingles(df, text_col, shingle_width)
+        .select(F.col(id_col).cast("string").alias("rid"), "sg")
+        .localCheckpoint(eager=True)
     )
+    small = sh.count() <= BROADCAST_MAX_RECORDS
     mh = make_minhash_udf(num_hashes=bands, shingle_width=1)
-    sig = sh.select("rid", mh(F.col("sg")).alias("minhash"))
-    cand = lsh_band_pairs(sig, bands=bands, rows_per_band=1)
+    sig = sh.select(
+        "rid",
+        mh(
+            F.transform(F.col("sg"), lambda s: F.pmod(F.xxhash64(s), F.lit(4294967296)))
+        ).alias("minhash"),
+    )
+    cand = lsh_band_pairs(sig, bands=bands, rows_per_band=1, broadcast_ok=small)
     a = sh.select(F.col("rid").alias("a_rid"), F.col("sg").alias("a_sg"))
     b = sh.select(F.col("rid").alias("b_rid"), F.col("sg").alias("b_sg"))
+    if small:
+        a, b = F.broadcast(a), F.broadcast(b)
     v = (
         cand.join(a, "a_rid")
         .join(b, "b_rid")

@@ -66,6 +66,17 @@ DEFAULT_SHINGLE_WIDTH = 3
 # BlockSplit balances load *within* blocks; stop-block pruning bounds the
 # total — both are required at scale.
 DEFAULT_MAX_BLOCK_SIZE = 256
+# Size-gated broadcast: with AQE off by design (its stage barriers serialize
+# the fused featurize→join jobs — see session.py), the engine makes the one
+# decision AQE would have made at runtime itself: when the materialized
+# record checkpoint is dimension-sized (row count known EXACTLY and for free
+# from the eager checkpoint), the self-join build sides and payload lookups
+# are broadcast instead of shuffled — at micro-batch / CI scale the data is
+# tiny and the shuffles are pure scheduling overhead (measured: the LSH
+# verify join drops 3.2 s → <1 s at sf0.1). Above the gate the plan is the
+# shuffle_hash one, which is the correct 100 TB shape. 100k records ≈ 70 MB
+# of token arrays — well inside executor broadcast budgets.
+BROADCAST_MAX_RECORDS = 100_000
 
 
 def doc_shingles(tokens_in_order, width: int = DEFAULT_SHINGLE_WIDTH) -> "F.Column":  # type: ignore[name-defined]
@@ -332,9 +343,15 @@ def match_edges(
     block_length: int = DEFAULT_BLOCK_LENGTH,
     lsh_bands: int = DEFAULT_LSH_BANDS,
     max_block_size: int = DEFAULT_MAX_BLOCK_SIZE,
+    n_records: int | None = None,
 ) -> DataFrame:
     """Above-threshold match edges (a, b) from featurized records — the
     flagship's hot path, scored *inside* the joins.
+
+    ``n_records``: exact row count of ``rec`` if the caller already knows it
+    (None → one cached-scan ``count()`` on the checkpoint, ~50 ms). At or
+    below ``BROADCAST_MAX_RECORDS`` every build side is broadcast (see the
+    constant's rationale); above it the shuffle_hash plan runs unchanged.
 
     Identical pair set to ``candidate_pairs`` + ``score`` + filter (the
     score of a pair doesn't depend on which key produced it, so
@@ -346,6 +363,9 @@ def match_edges(
     sf0.5 to keep 138k edges). LSH-band candidates (id-only) are anti-joined
     against nothing — they are few; their payload join is cheap.
     """
+    if n_records is None:
+        n_records = rec.count()  # materializes the lazy checkpoint once
+    small = n_records <= BROADCAST_MAX_RECORDS
     slim = pruned_block_rows(rec, max_block_size, payload=["toks"])
     a = slim.select(
         F.col("bk"), F.col("rid").alias("a_rid"), F.col("source").alias("a_source"),
@@ -362,7 +382,7 @@ def match_edges(
     # evaluations — observed in the event log as 224 core-s for this stage).
     e_prefix = (
         a.join(
-            b.hint("shuffle_hash"),
+            F.broadcast(b) if small else b.hint("shuffle_hash"),
             (a.bk == b.bk)
             & (F.col("a_rid") < F.col("b_rid"))
             & (F.col("a_source") != F.col("b_source"))
@@ -373,7 +393,7 @@ def match_edges(
     edges = e_prefix
     if lsh_bands:
         sig = rec.select("rid", "minhash")
-        lp = lsh_band_pairs(sig, bands=lsh_bands, rows_per_band=1)
+        lp = lsh_band_pairs(sig, bands=lsh_bands, rows_per_band=1, broadcast_ok=small)
         ra = rec.select(
             F.col("rid").alias("a_rid"), F.col("source").alias("a_source"),
             F.col("toks").alias("a_toks"),
@@ -382,9 +402,13 @@ def match_edges(
             F.col("rid").alias("b_rid"), F.col("source").alias("b_source"),
             F.col("toks").alias("b_toks"),
         )
+        if small:
+            ra, rb = F.broadcast(ra), F.broadcast(rb)
+        else:
+            ra, rb = ra.hint("shuffle_hash"), rb.hint("shuffle_hash")
         e_lsh = (
-            lp.join(ra.hint("shuffle_hash"), "a_rid")
-            .join(rb.hint("shuffle_hash"), "b_rid")
+            lp.join(ra, "a_rid")
+            .join(rb, "b_rid")
             .filter(F.col("a_source") != F.col("b_source"))
             .filter(jaccard_ge(F.col("a_toks"), F.col("b_toks"), threshold))
             .select("a_rid", "b_rid")
@@ -417,7 +441,10 @@ def match_conversations(
         )
     else:
         rec = featurize_records(rec0)
-        edges = match_edges(rec, threshold=threshold, block_length=block_length)
+        n_rec = rec.count()  # materializes the checkpoint; drives broadcast gating
+        edges = match_edges(
+            rec, threshold=threshold, block_length=block_length, n_records=n_rec
+        )
         rec0 = rec  # nodes come from the checkpoint — no transcript re-agg
     # materialize once: CC consumes the edge set twice (probe-collect + loop)
     edges = edges.localCheckpoint(eager=True)
@@ -435,6 +462,8 @@ def dedup_conversations(
         eager=True
     )
     sizes = assign.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    if assign.count() <= BROADCAST_MAX_RECORDS:  # cached-scan count on the ckpt
+        sizes = F.broadcast(sizes)
     return assign.join(sizes, "cluster_id").select(
         "conv_id", "cluster_id", "cluster_size"
     )
