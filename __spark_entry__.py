@@ -2100,7 +2100,14 @@ def q_music_csimq_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         music_scored_edges,
     )
 
-    records = music_records(spark, _MUSIC_CSV)
+    # the 19k-row CSV arrives as ONE split and feeds five consumers (star
+    # edges, intra-source removal, both ata sides, link filter) — fan out to
+    # cluster parallelism and checkpoint so it parses once, distributed
+    records = (
+        music_records(spark, _MUSIC_CSV)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=True)
+    )
     scored = music_scored_edges(records, music_input_edges(records))
     return scored.select("a", "b", sim_e6(F.col("sim")).alias("sim_e6"))
 
@@ -2196,7 +2203,13 @@ def q_geo_settlement_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``tests/test_geo_settlement.py`` (union-find, not SQL-expressible)."""
     from mapping_analysis_spark.geo import geo_scored_edges, read_geo_vertices
 
-    v = read_geo_vertices(spark, _GEO_VERTICES)
+    # single-split JSON fixture feeding both sides of the block self-join —
+    # fan out + checkpoint so it parses once, distributed
+    v = (
+        read_geo_vertices(spark, _GEO_VERTICES)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=True)
+    )
     return geo_scored_edges(v).select(
         "a", "b", sim_e6(F.col("sim")).alias("sim_e6")
     )

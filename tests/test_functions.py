@@ -187,13 +187,15 @@ def test_short_doc_shingle_parity(spark):
     NULL out-of-range element_at; the DuckDB oracle must do the same."""
     import duckdb as _duckdb
 
-    from __spark_entry__ import _DOC_SHINGLES_SQL, _doc_shingles
+    from __spark_entry__ import _DOC_SHINGLES_SQL
+
+    from mapping_analysis_spark.operators.dedup import word_shingles
 
     rows = [(1, "a b"), (2, "only"), (3, "a b c d")]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     got = {
         r.doc_id: sorted(r.sg)
-        for r in _doc_shingles(df).select("doc_id", "sg").collect()
+        for r in word_shingles(df, "text", 3).select("doc_id", "sg").collect()
     }
     con = _duckdb.connect()
     con.execute("CREATE TABLE documents(doc_id INT, text VARCHAR)")
