@@ -1324,20 +1324,26 @@ def q_conv_candidate_creator(spark: SparkSession, sf_dir: str) -> DataFrame:
         "b_cid",
         F.when(g.isNull(), l.cast("double")).otherwise((l + g * 100) / 2.0).alias("sim"),
     ).localCheckpoint(eager=True)
-    # checkpoint: consumed twice below (cross pairs + self-triplets) — without
-    # it the whole operator chain (CC + per-block Hungarian) executes twice
-    out = candidate_creator(
-        scored, clusters, threshold=float(_CAND_THRESHOLD_E6)
-    ).localCheckpoint(eager=True)
-
-    # oracle-tractability restriction (both engines): only blocks with <= 12
-    # scored triplets are emitted; self-triplet blocks always qualify
-    t = scored.filter(F.col("sim") >= _CAND_THRESHOLD_E6).dropDuplicates(
-        ["a_cid", "b_cid"]
+    # admitted pair set + its CC block labels, computed ONCE and shared with
+    # the operator (which would otherwise re-derive both internally) and the
+    # oracle-tractability restriction below
+    t = (
+        scored.filter(F.col("sim") >= _CAND_THRESHOLD_E6)
+        .dropDuplicates(["a_cid", "b_cid"])
+        .localCheckpoint(eager=True)
     )
     comp = connected_components(
         t.select(F.col("a_cid").alias("a"), F.col("b_cid").alias("b"))
     )
+    # checkpoint: consumed twice below (cross pairs + self-triplets) — without
+    # it the whole operator chain (per-block Hungarian) executes twice
+    out = candidate_creator(
+        scored, clusters, threshold=float(_CAND_THRESHOLD_E6),
+        admitted=t, blocks=comp,
+    ).localCheckpoint(eager=True)
+
+    # oracle-tractability restriction (both engines): only blocks with <= 12
+    # scored triplets are emitted; self-triplet blocks always qualify
     small = (
         t.join(
             comp.select(F.col("node").alias("a_cid"), F.col("comp").alias("block")),

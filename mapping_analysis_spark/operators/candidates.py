@@ -48,6 +48,8 @@ def candidate_creator(
     b_col: str = "b_cid",
     sim_col: str = "sim",
     cid_col: str = "cid",
+    admitted: DataFrame | None = None,
+    blocks: DataFrame | None = None,
 ) -> DataFrame:
     """Run stages 2-6 of the reference chain over pre-scored cluster pairs.
 
@@ -57,11 +59,18 @@ def candidate_creator(
     ``clusters``: one row per live cluster (``cid_col``) — the recovery
     universe.
 
+    ``admitted``/``blocks``: callers that already materialized the
+    thresholded-deduped pair set and/or its CC block labels (node, comp)
+    pass them in so the chain is not executed twice (e.g. the contract
+    query derives a per-block triplet-count restriction from the same two
+    frames). Semantics are unchanged — they must equal what this function
+    would compute itself.
+
     Returns (block, a_col, b_col, sim_col): the per-block optimal
     assignment's matched pairs plus one self-row (a == b, sim 0.0) for every
     recovered (uncovered) cluster, its own id as block.
     """
-    t = (
+    t = admitted if admitted is not None else (
         scored.filter(F.col(sim_col) >= F.lit(threshold))
         .select(a_col, b_col, sim_col)
         .dropDuplicates([a_col, b_col])
@@ -79,7 +88,9 @@ def candidate_creator(
         F.col(cid_col).alias(b_col),
         F.lit(0.0).alias(sim_col),
     )
-    comp = connected_components(t.select(F.col(a_col).alias("a"), F.col(b_col).alias("b")))
+    comp = blocks if blocks is not None else connected_components(
+        t.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    )
     blocked = t.join(
         comp.select(F.col("node").alias(a_col), F.col("comp").alias("block")), a_col
     )
