@@ -1020,6 +1020,8 @@ SELECT doc_id, {_LANG_CASE} AS lang_guess, {_LANG_BEST} AS marker_hits FROM t
 
 
 _TOKS_CACHE: dict[tuple[str, str], DataFrame] = _register_cache({})
+_MUSIC_RECORDS_CACHE: dict[tuple[str, str], DataFrame] = _register_cache({})
+_GEO_VERTICES_CACHE: dict[tuple[str, str], DataFrame] = _register_cache({})
 
 
 def _record_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2108,12 +2110,17 @@ def q_music_csimq_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # the 19k-row CSV arrives as ONE split and feeds five consumers (star
     # edges, intra-source removal, both ata sides, link filter) — fan out to
-    # cluster parallelism and checkpoint so it parses once, distributed
-    records = (
-        music_records(spark, _MUSIC_CSV)
-        .repartition(spark.sparkContext.defaultParallelism)
-        .localCheckpoint(eager=True)
-    )
+    # cluster parallelism and checkpoint so it parses once, distributed;
+    # memoized per session like the other shared materializations
+    key = _cache_key(spark, _MUSIC_CSV)
+    records = _MUSIC_RECORDS_CACHE.get(key)
+    if records is None:
+        records = (
+            music_records(spark, _MUSIC_CSV)
+            .repartition(spark.sparkContext.defaultParallelism)
+            .localCheckpoint(eager=True)
+        )
+        _MUSIC_RECORDS_CACHE[key] = records
     scored = music_scored_edges(records, music_input_edges(records))
     return scored.select("a", "b", sim_e6(F.col("sim")).alias("sim_e6"))
 
@@ -2210,12 +2217,17 @@ def q_geo_settlement_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapping_analysis_spark.geo import geo_scored_edges, read_geo_vertices
 
     # single-split JSON fixture feeding both sides of the block self-join —
-    # fan out + checkpoint so it parses once, distributed
-    v = (
-        read_geo_vertices(spark, _GEO_VERTICES)
-        .repartition(spark.sparkContext.defaultParallelism)
-        .localCheckpoint(eager=True)
-    )
+    # fan out + checkpoint so it parses once, distributed; memoized per
+    # session like the other shared materializations
+    key = _cache_key(spark, _GEO_VERTICES)
+    v = _GEO_VERTICES_CACHE.get(key)
+    if v is None:
+        v = (
+            read_geo_vertices(spark, _GEO_VERTICES)
+            .repartition(spark.sparkContext.defaultParallelism)
+            .localCheckpoint(eager=True)
+        )
+        _GEO_VERTICES_CACHE[key] = v
     return geo_scored_edges(v).select(
         "a", "b", sim_e6(F.col("sim")).alias("sim_e6")
     )
