@@ -940,6 +940,186 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-5 (the indexed scale path next to brute ``ann_topk``):
+    deterministic k-means coarse quantizer (8 cells, min-id seeds, one exact
+    integer-mean Lloyd step), queries probe their 2 nearest cells, exact
+    quantized-cosine rerank inside the probed inverted lists. Every step is
+    integer-exact or IEEE-identical, so DuckDB replays the whole index
+    build + probe and the outputs match value-exactly."""
+    from mapping_analysis_spark.operators.knn import ivf_topk
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    res = ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_cells=8, n_probe=2, iters=1
+    )
+    return res.select("q_id", "nn_id", "rank", sim_e6(F.col("sim")).alias("sim_e6"))
+
+
+_IVF_ASSIGN_SQL = """
+  SELECT vec_id, q, n2, cell,
+    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rk
+  FROM (
+    SELECT b.vec_id, b.q, b.n2, s.cell,
+      CAST(list_sum([b.q[i] * s.c[i] for i in range(1, len(b.q) + 1)]) AS DOUBLE)
+        / (sqrt(CAST(b.n2 AS DOUBLE)) * sqrt(CAST(s.cn AS DOUBLE))) AS sim
+    FROM base b CROSS JOIN {cents} s
+  )
+"""
+
+SQL_ANN_IVF_TOPK = f"""
+WITH q0 AS (
+  SELECT vec_id,
+    [CAST(floor(CAST(x AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) for x in embedding] AS q
+  FROM embeddings
+),
+base AS (
+  SELECT vec_id, q, list_sum([x * x for x in q]) AS n2 FROM q0
+),
+seeds AS (  -- deterministic min-id seed centroids, cell ids 0..7
+  SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cell, q AS c, n2 AS cn
+  FROM (SELECT * FROM base ORDER BY vec_id ASC LIMIT 8)
+),
+assign0 AS ({_IVF_ASSIGN_SQL.format(cents='seeds')}),
+members AS (SELECT cell, q FROM assign0 WHERE rk = 1),
+comp AS (  -- one Lloyd step: element-wise floor(mean) in quantized space
+  SELECT cell, i, CAST(floor(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+  FROM (SELECT cell, unnest(range(1, len(q) + 1)) AS i, unnest(q) AS x FROM members)
+  GROUP BY cell, i
+),
+cents0 AS (SELECT cell, list(m ORDER BY i) AS c FROM comp GROUP BY cell),
+cents AS (SELECT cell, c, list_sum([x * x for x in c]) AS cn FROM cents0),
+lists AS (  -- final inverted lists
+  SELECT cell, vec_id AS nn_id, q AS v, n2
+  FROM ({_IVF_ASSIGN_SQL.format(cents='cents')}) WHERE rk = 1
+),
+probes AS (  -- queries probe their 2 nearest cells
+  SELECT cell, vec_id AS q_id, q AS qv, n2 AS qn
+  FROM ({_IVF_ASSIGN_SQL.format(cents='cents')})
+  WHERE vec_id < 10 AND rk <= 2
+),
+scored AS (
+  SELECT p.q_id, l.nn_id,
+    CAST(list_sum([p.qv[i] * l.v[i] for i in range(1, len(l.v) + 1)]) AS DOUBLE)
+      / (sqrt(CAST(p.qn AS DOUBLE)) * sqrt(CAST(l.n2 AS DOUBLE))) AS sim
+  FROM lists l JOIN probes p USING (cell)
+  WHERE l.nn_id <> p.q_id
+),
+ranked AS (
+  SELECT q_id, nn_id, sim,
+    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, nn_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, nn_id, rank, {sqlgen.sim_e6_sql('sim')} AS sim_e6
+FROM ranked WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Documents: SimHash near-dup (engine-portable md5 hash basis) and
+# word-2-gram Jaccard dedup
+# ---------------------------------------------------------------------------
+
+def _md5_60(t):
+    """60-bit token hash from the md5 hex prefix — bit-identical in Spark
+    (conv base16→10) and DuckDB (strpos fold), unlike xxhash64/splitmix64
+    whose wrap-around arithmetic DuckDB cannot express."""
+    return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+
+
+def q_doc_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at Hamming <= 3 over 60-bit md5-basis
+    fingerprints (remix off → oracle-replicable bit votes). With
+    max_hamming (3) < n_bands (4) the banded candidate set provably covers
+    every qualifying pair (pigeonhole), so the LSH-shaped plan equals the
+    brute-force oracle exactly."""
+    from mapping_analysis_spark.operators.dedup import simhash_dedup
+
+    docs = _tbl(spark, sf_dir, "documents")
+    pairs = simhash_dedup(
+        docs, max_hamming=3, n_bands=4, token_hash=_md5_60, remix=False
+    )
+    return pairs.select(
+        "a_doc", "b_doc", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+SQL_DOC_SIMHASH_NEARDUP = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id,
+    list_reduce(
+      [CAST(strpos('0123456789abcdef', substr(hx, i, 1)) - 1 AS BIGINT)
+       for i in range(1, 16)],
+      (acc, x) -> acc * 16 + x
+    ) AS h
+  FROM (SELECT doc_id, md5(tok) AS hx FROM toks)
+),
+votes AS (
+  SELECT doc_id, bit,
+         SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE 0 END) AS ones,
+         COUNT(*) AS n
+  FROM hashed CROSS JOIN (SELECT unnest(range(0, 60)) AS bit) bits
+  GROUP BY doc_id, bit
+),
+fp0 AS (  -- majority vote: bit set iff strictly more than half the tokens set it
+  SELECT doc_id,
+    CAST(SUM(CASE WHEN 2 * ones > n THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
+         AS BIGINT) AS fp
+  FROM votes GROUP BY doc_id
+),
+fps AS (
+  SELECT d.doc_id, COALESCE(f.fp, 0) AS fp
+  FROM documents d LEFT JOIN fp0 f USING (doc_id)
+)
+SELECT a.doc_id AS a_doc, b.doc_id AS b_doc,
+       CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fp, b.fp)) <= 3
+"""
+
+
+def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-2-gram Jaccard dedup (the n-gram metric entry point) at >= 0.6,
+    MinHash-LSH candidates (32 bands → miss prob (1-0.6)^32 ≈ 2e-13) with
+    exact verification on the string shingle sets."""
+    from mapping_analysis_spark.operators.dedup import ngram_jaccard_dedup
+
+    docs = _tbl(spark, sf_dir, "documents")
+    v = ngram_jaccard_dedup(docs, text_col="text", id_col="doc_id", n=2, threshold=0.6)
+    return v.select("a_doc", "b_doc", sim_e6(F.col("sim")).alias("sim_e6"))
+
+
+SQL_DOC_NGRAM_JACCARD = f"""
+WITH sh AS (
+  -- concat_ws skips the NULL out-of-range element, so a 1-token doc yields
+  -- the degenerate shingle 'a' exactly like Spark's try_element_at path
+  SELECT doc_id,
+    list_distinct([concat_ws(' ', tk[i], tk[i+1])
+                   for i in range(1, greatest(1, len(tk)-1) + 1)]) AS sg
+  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+),
+shx AS MATERIALIZED (SELECT doc_id, unnest(sg) AS s FROM sh),
+lens AS (SELECT doc_id, len(sg) AS n FROM sh),
+isz AS (
+  SELECT a.doc_id AS a_doc, b.doc_id AS b_doc, count(*) AS inter
+  FROM shx a JOIN shx b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT i.a_doc, i.b_doc,
+    CAST(i.inter AS DOUBLE) / (la.n + lb.n - i.inter) AS sim
+  FROM isz i
+  JOIN lens la ON la.doc_id = i.a_doc
+  JOIN lens lb ON lb.doc_id = i.b_doc
+)
+SELECT a_doc, b_doc, {sqlgen.sim_e6_sql('sim')} AS sim_e6 FROM jac WHERE sim >= 0.6
+"""
+
+
 # ---------------------------------------------------------------------------
 # Additional operators: fingerprints, language ID, IDF blocking, merge ops,
 # embedding near-dup, sliding windows
@@ -2402,6 +2582,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nc_csimq_edges": q_nc_csimq_edges,
         "music_csimq_edges": q_music_csimq_edges,
         "geo_settlement_edges": q_geo_settlement_edges,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "doc_simhash_neardup": q_doc_simhash_neardup,
+        "doc_ngram_jaccard": q_doc_ngram_jaccard,
     }
 
 
@@ -2449,4 +2632,7 @@ def oracle_sql() -> dict[str, str]:
         "nc_csimq_edges": _sql_nc_csimq_edges(),
         "music_csimq_edges": _sql_music_csimq_edges(),
         "geo_settlement_edges": _sql_geo_settlement_edges(),
+        "ann_ivf_topk": SQL_ANN_IVF_TOPK,
+        "doc_simhash_neardup": SQL_DOC_SIMHASH_NEARDUP,
+        "doc_ngram_jaccard": SQL_DOC_NGRAM_JACCARD,
     }

@@ -512,7 +512,7 @@ def _min_perm(x: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return v.min(axis=1)
 
 
-def make_simhash_udf(seed: int = 42):
+def make_simhash_udf(seed: int = 42, remix: bool = True):
     """64-bit SimHash fingerprint over PRE-HASHED tokens (``array<long>``).
 
     Tokens are hashed JVM-side (``F.xxhash64`` — see
@@ -522,7 +522,12 @@ def make_simhash_udf(seed: int = 42):
     then per bit position one segmented popcount (``np.add.reduceat`` over
     document boundaries) decides the majority vote. No per-token Python.
     A bit is set iff more than half the tokens have it set — identical
-    voting rule to the classic per-token formulation."""
+    voting rule to the classic per-token formulation.
+
+    ``remix=False`` skips the splitmix64 finalizer and votes on the input
+    hashes as-is — used when the caller supplies already-uniform hashes
+    whose bit pattern must be reproducible by an external oracle engine
+    (wrap-around uint64 multiplication is not portable SQL)."""
     s0 = np.uint64((seed * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
     c1 = np.uint64(0xBF58476D1CE4E5B9)
     c2 = np.uint64(0x94D049BB133111EB)
@@ -544,11 +549,14 @@ def make_simhash_udf(seed: int = 42):
             flat = np.concatenate(
                 [np.asarray(hashes.iloc[i], dtype=np.int64) for i in nz]
             ).view(np.uint64)
-            # splitmix64 finalizer, seeded — decorrelates fingerprint families
-            h = flat ^ s0
-            h = (h ^ (h >> np.uint64(30))) * c1
-            h = (h ^ (h >> np.uint64(27))) * c2
-            h = h ^ (h >> np.uint64(31))
+            if remix:
+                # splitmix64 finalizer, seeded — decorrelates fingerprint families
+                h = flat ^ s0
+                h = (h ^ (h >> np.uint64(30))) * c1
+                h = (h ^ (h >> np.uint64(27))) * c2
+                h = h ^ (h >> np.uint64(31))
+            else:
+                h = flat
             seg = np.concatenate(([0], np.cumsum(lens[nz])[:-1]))
             lnz = lens[nz]
             fp = np.zeros(len(nz), dtype=np.uint64)

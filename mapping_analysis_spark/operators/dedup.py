@@ -109,17 +109,33 @@ def simhash_dedup(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     n_bands: int = 4,
+    token_hash=None,
+    remix: bool = True,
 ) -> DataFrame:
     """SimHash near-dup: 64-bit fingerprints, banded into ``n_bands`` 16-bit
     chunks — by pigeonhole, any pair within ``n_bands - 1`` bit flips shares
     at least one chunk → candidate; verified by exact Hamming distance.
+
+    Whenever ``max_hamming < n_bands`` the banded output EQUALS the
+    brute-force "all pairs at Hamming <= max_hamming" set (a pair with h
+    flipped bits can touch at most h bands, so some band survives intact) —
+    which is what makes the operator oracle-checkable without replicating
+    the banding in SQL.
+
+    ``token_hash`` overrides the per-token hash (default ``F.xxhash64``);
+    pass a Catalyst expression builder reproducible in the oracle engine
+    (e.g. an md5-prefix hash) together with ``remix=False`` to make the
+    fingerprints engine-portable.
     """
     toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+    hash_fn = token_hash if token_hash is not None else F.xxhash64
     sh = df.select(
         F.col(id_col).alias("rid"),
         # tokens hashed JVM-side: the Arrow batch ships int64 arrays and the
         # Python kernel is one vectorized bit-vote pass per batch
-        make_simhash_udf()(F.transform(toks, lambda t: F.xxhash64(t))).alias("fp"),
+        make_simhash_udf(remix=remix)(
+            F.transform(toks, lambda t: hash_fn(t))
+        ).alias("fp"),
     )
     width = 64 // n_bands
     mask = (1 << width) - 1

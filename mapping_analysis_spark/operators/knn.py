@@ -127,3 +127,121 @@ def hyperplane_lsh_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "nn_id", "rank", "sim")
     )
+
+
+def _cosine(u_col, un_col, v_col, vn_col):
+    return _dot(u_col, v_col).cast("double") / (
+        F.sqrt(un_col.cast("double")) * F.sqrt(vn_col.cast("double"))
+    )
+
+
+def ivf_centroids(base: DataFrame, n_cells: int, iters: int) -> DataFrame:
+    """Deterministic IVF coarse quantizer over quantized vectors.
+
+    ``base`` must carry ``(nn_id, v array<long>, n2 long)``. Seeds are the
+    ``n_cells`` vectors with the smallest ids (deterministic — no RNG, no
+    driver collect); each Lloyd iteration assigns every vector to its
+    nearest seed by cosine (ties → smallest cell id) and recomputes each
+    cell's centroid as the element-wise ``floor(mean)`` in quantized integer
+    space, so every arithmetic step is exact and engine-portable. Empty
+    cells drop out. Returns ``(cell int, c array<long>, cn long)``.
+    """
+    seeds = (
+        base.orderBy(F.col("nn_id").asc())
+        .limit(n_cells)
+        .select(
+            (F.row_number().over(Window.orderBy(F.col("nn_id").asc())) - 1).alias("cell"),
+            F.col("v").alias("c"),
+            F.col("n2").alias("cn"),
+        )
+    )
+    cents = seeds
+    for _ in range(iters):
+        sim = _cosine(F.col("v"), F.col("n2"), F.col("c"), F.col("cn"))
+        w = Window.partitionBy("nn_id").orderBy(F.col("sim").desc(), F.col("cell").asc())
+        assign = (
+            base.crossJoin(F.broadcast(cents))
+            .withColumn("sim", sim)
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("cell", "v")
+        )
+        comp = (
+            assign.select("cell", F.posexplode(F.col("v")).alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.floor(F.sum("x") / F.count("*")).cast("long").alias("m"))
+        )
+        newc = (
+            comp.groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+                ).alias("c")
+            )
+            .withColumn("cn", _dot(F.col("c"), F.col("c")))
+        )
+        cents = newc
+    return cents
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    iters: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN: cluster the corpus into ``n_cells`` inverted lists with a
+    deterministic k-means coarse quantizer, assign each query to its
+    ``n_probe`` nearest cells, exact-rerank cosine top-k within the probed
+    lists.
+
+    Scale shape: the centroid table is O(n_cells) and broadcast everywhere;
+    the corpus is touched by (a) one linear assignment pass per Lloyd
+    iteration and (b) one probed-cell join at query time — never an O(N·Q)
+    cross join, and the inverted lists shuffle once on ``cell``. With
+    ``n_probe == n_cells`` the result degenerates to exact ``brute_topk``
+    (pinned by tests), which bounds the approximation to the probe policy.
+    """
+    base = corpus.select(
+        F.col(id_col).alias("nn_id"), _quantized(F.col(vec_col)).alias("v")
+    ).withColumn("n2", _dot(F.col("v"), F.col("v")))
+    cents = ivf_centroids(base, n_cells, iters)
+
+    sim_vc = _cosine(F.col("v"), F.col("n2"), F.col("c"), F.col("cn"))
+    w_assign = Window.partitionBy("nn_id").orderBy(F.col("sim").desc(), F.col("cell").asc())
+    lists = (
+        base.crossJoin(F.broadcast(cents))
+        .withColumn("sim", sim_vc)
+        .withColumn("rk", F.row_number().over(w_assign))
+        .filter(F.col("rk") == 1)
+        .select("cell", "nn_id", "v", "n2")
+    )
+
+    q = queries.select(
+        F.col(id_col).alias("q_id"), _quantized(F.col(vec_col)).alias("qv")
+    ).withColumn("qn", _dot(F.col("qv"), F.col("qv")))
+    sim_qc = _cosine(F.col("qv"), F.col("qn"), F.col("c"), F.col("cn"))
+    w_probe = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("cell").asc())
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("sim", sim_qc)
+        .withColumn("rk", F.row_number().over(w_probe))
+        .filter(F.col("rk") <= n_probe)
+        .select("cell", "q_id", "qv", "qn")
+    )
+
+    # each corpus vector lives in exactly one inverted list and probe cells
+    # are distinct, so (q_id, nn_id) pairs are already unique — no dedup.
+    cand = lists.join(F.broadcast(probes), "cell").filter(F.col("nn_id") != F.col("q_id"))
+    sim = _cosine(F.col("qv"), F.col("qn"), F.col("v"), F.col("n2"))
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("nn_id").asc())
+    return (
+        cand.withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "nn_id", "rank", "sim")
+    )

@@ -67,6 +67,44 @@ def test_simhash_dedup_finds_planted_neardups(spark, docs):
         assert pair[0] < pair[1]
 
 
+def test_simhash_banded_equals_bruteforce_when_hamming_lt_bands(spark):
+    """Pigeonhole: with max_hamming (3) < n_bands (4), a qualifying pair
+    always shares an intact 16-bit band, so the banded plan's output equals
+    the O(n²) brute-force Hamming filter — the invariant the driver-gated
+    ``doc_simhash_neardup`` oracle relies on. Uses the engine-portable md5
+    hash basis (remix off) like the contract query."""
+    from pyspark.sql import functions as F
+
+    from mapping_analysis_spark.functions.simfns import make_simhash_udf
+
+    def md5_60(t):
+        return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+
+    docs01 = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    banded = {
+        (r["a_doc"], r["b_doc"], r["hamming"])
+        for r in simhash_dedup(docs01, token_hash=md5_60, remix=False).collect()
+    }
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+    fps = docs01.select(
+        F.col("doc_id").alias("rid"),
+        make_simhash_udf(remix=False)(
+            F.transform(toks, lambda t: md5_60(t))
+        ).alias("fp"),
+    )
+    a = fps.selectExpr("rid AS a_doc", "fp AS fa")
+    b = fps.selectExpr("rid AS b_doc", "fp AS fb")
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("a_doc") < F.col("b_doc"))
+        .withColumn("hamming", F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))))
+        .filter(F.col("hamming") <= 3)
+    )
+    bset = {(r["a_doc"], r["b_doc"], r["hamming"]) for r in brute.collect()}
+    assert banded == bset
+    assert len(banded) > 0
+
+
 def test_embedding_neardup_symmetric_and_thresholded(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     got = embedding_neardup(emb, threshold=0.9).collect()
