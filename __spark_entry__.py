@@ -1120,6 +1120,48 @@ SELECT a_doc, b_doc, {sqlgen.sim_e6_sql('sim')} AS sim_e6 FROM jac WHERE sim >= 
 """
 
 
+def q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, BPE-ish: a GPT-2/cl100k-style pre-tokenizer regex
+    (contractions, letter runs, 1-3-digit groups, punctuation runs) counted
+    per document next to the whitespace count, plus the chars-per-BPE-token
+    compression ratio (integer-millionth, exact in both engines). The
+    pre-tokenizer split dominates token-count statistics, which is the
+    number a corpus-sizing pass needs. Pure Catalyst — one projection, no
+    shuffle, scale-free."""
+    from mapping_analysis_spark.functions.text import bpe_ish_tokens
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return docs.withColumn("bpe", bpe_ish_tokens(F.col("text"))).select(
+        "doc_id",
+        F.size("bpe").alias("n_bpe_tokens"),
+        F.size(F.array_distinct("bpe")).alias("n_distinct_bpe_tokens"),
+        F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit("")))
+        .alias("n_ws_tokens"),
+        # DIV / '//' = integer division in Spark / DuckDB — identical
+        # truncation (a double-division + cast would round differently)
+        F.expr(
+            "CAST(length(text) AS BIGINT) * 1000000 DIV NULLIF(size(bpe), 0)"
+        ).alias("chars_per_bpe_e6"),
+    )
+
+
+_BPE_SQL_PAT = "''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]{1,3}| ?[^a-zA-Z0-9 ]+| +"
+
+SQL_DOC_BPE_TOKENS = f"""
+WITH tk AS (
+  SELECT doc_id, text, regexp_extract_all(text, '{_BPE_SQL_PAT}') AS bpe
+  FROM documents
+)
+SELECT doc_id,
+  len(bpe) AS n_bpe_tokens,
+  len(list_distinct(bpe)) AS n_distinct_bpe_tokens,
+  len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_ws_tokens,
+  CAST(len(text) AS BIGINT) * 1000000 // NULLIF(len(bpe), 0)
+    AS chars_per_bpe_e6
+FROM tk
+"""
+
+
 # ---------------------------------------------------------------------------
 # Additional operators: fingerprints, language ID, IDF blocking, merge ops,
 # embedding near-dup, sliding windows
@@ -2585,6 +2627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "doc_simhash_neardup": q_doc_simhash_neardup,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
+        "doc_bpe_tokens": q_doc_bpe_tokens,
     }
 
 
@@ -2635,4 +2678,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": SQL_ANN_IVF_TOPK,
         "doc_simhash_neardup": SQL_DOC_SIMHASH_NEARDUP,
         "doc_ngram_jaccard": SQL_DOC_NGRAM_JACCARD,
+        "doc_bpe_tokens": SQL_DOC_BPE_TOKENS,
     }

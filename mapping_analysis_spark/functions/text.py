@@ -48,6 +48,27 @@ def distinct_tokens(col: Column) -> Column:
     return F.array_distinct(tokens(col))
 
 
+# GPT-2/cl100k-style pre-tokenizer grammar, restricted to the regex subset
+# that Java (Spark) and RE2 (DuckDB, the oracle engine) match identically:
+# contraction suffixes, space-prefixed letter runs, 1-3-digit groups
+# (cl100k splits long numbers), space-prefixed punctuation runs, residual
+# space runs. Leftmost-first alternation in both engines.
+BPE_ISH_PATTERN = (
+    "'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]{1,3}| ?[^a-zA-Z0-9 ]+| +"
+)
+
+
+def bpe_ish_tokens(col: Column) -> Column:
+    """BPE-ish subword pre-tokens of the RAW text (no normalization — the
+    grammar itself handles case/punctuation/digits), as an array column.
+
+    This is the counting half of a byte-pair tokenizer: the pre-tokenizer
+    split dominates token-count statistics (merges only shrink counts
+    within a pre-token), so for corpus sizing / cost estimation it is the
+    number that matters, and it stays pure Catalyst."""
+    return F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), 0)
+
+
 def blocking_key(col: Column, length: int = 4) -> Column:
     """Prefix blocking key over normalized text.
 

@@ -69,6 +69,44 @@ def test_tokens_parity(spark, sample_df):
     assert got == [list(w) for w in want]
 
 
+def test_bpe_ish_tokens_grammar_and_parity(spark):
+    """BPE-ish pre-tokenizer: hand-checked grammar cases (contraction
+    suffixes, 1-3-digit groups, punctuation runs, space folding) plus
+    Spark↔DuckDB parity — the ``doc_bpe_tokens`` oracle depends on the
+    Java and RE2 regex engines splitting identically."""
+    from mapping_analysis_spark.functions.text import BPE_ISH_PATTERN, bpe_ish_tokens
+
+    cases = {
+        "don't stop": ["don", "'t", " stop"],
+        "I'll we've": ["I", "'ll", " we", "'ve"],
+        "12345 x": ["123", "45", " x"],  # cl100k-style 3-digit grouping
+        "hello,world!!": ["hello", ",", "world", "!!"],
+        # no lookahead in RE2, so a multi-space run folds into one ' +'
+        # token (GPT-2's '\\s+(?!\\S)' would instead leave ' b')
+        "a  b": ["a", "  ", "b"],
+        "": [],
+    }
+    df = spark.createDataFrame([(s,) for s in cases], ["s"])
+    got = [list(r[0]) for r in df.select(bpe_ish_tokens(F.col("s"))).collect()]
+    assert got == list(cases.values())
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(s,) for s in [*cases, *SAMPLES]])
+    pat = BPE_ISH_PATTERN.replace("'", "''")
+    want = [
+        list(r[0])
+        for r in con.execute(
+            f"SELECT regexp_extract_all(s, '{pat}') FROM t"
+        ).fetchall()
+    ]
+    df_all = spark.createDataFrame([(s,) for s in [*cases, *SAMPLES]], ["s"])
+    got_all = [
+        list(r[0]) for r in df_all.select(bpe_ish_tokens(F.col("s"))).collect()
+    ]
+    assert got_all == want
+
+
 def test_trigram_cosine_known_values(spark):
     # identical strings → 1.0; disjoint → 0.0; hand-computed small case
     df = spark.createDataFrame(
