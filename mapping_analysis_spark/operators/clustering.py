@@ -102,29 +102,29 @@ def connected_components(
         [StructField("node", dtype, True), StructField("comp", dtype, True)]
     )
     spark = edges.sparkSession
-    # self-loops dropped up front so the signature matches large-star's
-    # (u != v)-filtered edge set exactly; union-find treats them as no-ops
+    # self-loops dropped up front so the edge set matches large-star's
+    # (u != v)-filtered one exactly; union-find treats them as no-ops
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
         F.col("u") != F.col("v")
     )
-    # One tiny aggregate drives everything: the edge count picks driver vs
-    # distributed, and for distinct inputs the (count, hash-sum) set
-    # signature doubles as large-star's convergence seed — no separate
-    # probe job, no separate init-signature job.
-    n, h = _edge_sig(e)
-    if n > driver_threshold:
+    # ONE action: limit(T+1).toPandas() is both the size probe and (on the
+    # driver path) the collect itself. The input plan executes exactly once
+    # — this matters when it is expensive and un-checkpointed, e.g. the
+    # streaming job's merge-on-read dirty-subgraph read, where a separate
+    # count/signature action re-ran the whole resolve and the per-batch
+    # Spark-job cost of CC doubled with the live-delta-dir count. The
+    # (count, hash-sum) convergence seed is only worth a job on the
+    # distributed path, which computes it itself.
+    # limit() takes a JVM int — a huge force-driver threshold (tests use
+    # 1<<40) must not overflow it; beyond INT_MAX the probe is unbounded
+    pdf = e.limit(min(driver_threshold + 1, 2**31 - 1)).toPandas()
+    if len(pdf) > driver_threshold:
         return large_star_small_star(
-            edges,
-            src,
-            dst,
-            max_iter,
-            input_distinct=input_distinct,
-            init_sig=(n, h) if input_distinct else None,
+            edges, src, dst, max_iter, input_distinct=input_distinct
         )
     # Arrow both ways: toPandas for the collect, createDataFrame(pdf) for the
     # result (a plain python-list createDataFrame pickles row-by-row —
     # measured as a ~26 s single-core stall at 125k components).
-    pdf = e.toPandas()
     uf = UnionFind()
     for a, b in zip(pdf["u"], pdf["v"]):
         uf.union(a, b)
