@@ -206,10 +206,17 @@ def ivf_topk(
     ``n_probe == n_cells`` the result degenerates to exact ``brute_topk``
     (pinned by tests), which bounds the approximation to the probe policy.
     """
-    base = corpus.select(
-        F.col(id_col).alias("nn_id"), _quantized(F.col(vec_col)).alias("v")
-    ).withColumn("n2", _dot(F.col("v"), F.col("v")))
-    cents = ivf_centroids(base, n_cells, iters)
+    # base feeds the Lloyd assignment AND the inverted-list build; cents
+    # feeds list assignment AND query probing — checkpoint both so the
+    # quantization pass and the k-means run exactly once
+    base = (
+        corpus.select(
+            F.col(id_col).alias("nn_id"), _quantized(F.col(vec_col)).alias("v")
+        )
+        .withColumn("n2", _dot(F.col("v"), F.col("v")))
+        .localCheckpoint(eager=True)
+    )
+    cents = ivf_centroids(base, n_cells, iters).localCheckpoint(eager=True)
 
     sim_vc = _cosine(F.col("v"), F.col("n2"), F.col("c"), F.col("cn"))
     w_assign = Window.partitionBy("nn_id").orderBy(F.col("sim").desc(), F.col("cell").asc())
