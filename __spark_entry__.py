@@ -1015,6 +1015,68 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN top-5 with md5-derived ±1 planes: sketches are
+    integer-exact (sign of an int dot over the quantized vectors), so DuckDB
+    regenerates the identical planes from md5() and replays bucketing +
+    rerank — the LSH path's own driver-gated oracle next to brute
+    (``ann_topk``) and IVF (``ann_ivf_topk``)."""
+    from mapping_analysis_spark.operators.knn import md5_lsh_topk
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    res = md5_lsh_topk(
+        emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5, bits=4, tables=12
+    )
+    return res.select("q_id", "nn_id", "rank", sim_e6(F.col("sim")).alias("sim_e6"))
+
+
+SQL_ANN_LSH_TOPK = f"""
+WITH q0 AS (
+  SELECT vec_id,
+    [CAST(floor(CAST(x AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) for x in embedding] AS q
+  FROM embeddings
+),
+base AS (
+  SELECT vec_id, q, list_sum([x * x for x in q]) AS n2 FROM q0
+),
+planes AS (  -- md5-derived ±1 hyperplanes: first hex digit < '8' → +1
+  SELECT t, b,
+    list(CASE WHEN substr(md5(t || ':' || b || ':' || i), 1, 1) < '8'
+              THEN 1 ELSE -1 END ORDER BY i) AS s
+  FROM range(12) r1(t), range(4) r2(b), range(64) r3(i)
+  GROUP BY t, b
+),
+sk AS (  -- sign-bit sketch: integer dot >= 0 per plane, bits packed by b
+  SELECT v.vec_id, p.t,
+    CAST(SUM(CASE WHEN list_sum([p.s[i] * v.q[i] for i in range(1, len(v.q) + 1)]) >= 0
+             THEN (CAST(1 AS BIGINT) << p.b) ELSE 0 END) AS BIGINT) AS bucket
+  FROM base v CROSS JOIN planes p
+  GROUP BY v.vec_id, p.t
+),
+cq AS (SELECT vec_id, t, bucket FROM sk WHERE vec_id < 10),
+cand AS (
+  SELECT DISTINCT c.vec_id AS nn_id, qq.vec_id AS q_id
+  FROM sk c JOIN cq qq ON c.t = qq.t AND c.bucket = qq.bucket
+  WHERE c.vec_id <> qq.vec_id
+),
+scored AS (
+  SELECT cand.q_id, cand.nn_id,
+    CAST(list_sum([a.q[i] * b.q[i] for i in range(1, len(a.q) + 1)]) AS DOUBLE)
+      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS sim
+  FROM cand
+  JOIN base a ON a.vec_id = cand.q_id
+  JOIN base b ON b.vec_id = cand.nn_id
+),
+ranked AS (
+  SELECT q_id, nn_id, sim,
+    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, nn_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, nn_id, rank, {{sim_e6}} AS sim_e6
+FROM ranked WHERE rank <= 5
+""".format(sim_e6=sqlgen.sim_e6_sql("sim"))
+
+
 # ---------------------------------------------------------------------------
 # Documents: SimHash near-dup (engine-portable md5 hash basis) and
 # word-2-gram Jaccard dedup
@@ -2625,6 +2687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "music_csimq_edges": q_music_csimq_edges,
         "geo_settlement_edges": q_geo_settlement_edges,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
         "doc_simhash_neardup": q_doc_simhash_neardup,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_bpe_tokens": q_doc_bpe_tokens,
@@ -2676,6 +2739,7 @@ def oracle_sql() -> dict[str, str]:
         "music_csimq_edges": _sql_music_csimq_edges(),
         "geo_settlement_edges": _sql_geo_settlement_edges(),
         "ann_ivf_topk": SQL_ANN_IVF_TOPK,
+        "ann_lsh_topk": SQL_ANN_LSH_TOPK,
         "doc_simhash_neardup": SQL_DOC_SIMHASH_NEARDUP,
         "doc_ngram_jaccard": SQL_DOC_NGRAM_JACCARD,
         "doc_bpe_tokens": SQL_DOC_BPE_TOKENS,

@@ -252,3 +252,84 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "nn_id", "rank", "sim")
     )
+
+
+def md5_hyperplanes(dim: int, bits: int, tables: int) -> np.ndarray:
+    """±1 hyperplane tensor (tables, bits, dim) derived from md5 digests —
+    the engine-portable cousin of the Gaussian planes: any engine with an
+    md5() can regenerate the exact same matrix (first hex digit of
+    ``md5("{t}:{b}:{i}")`` < '8' → +1, else −1), so an external oracle can
+    replay the whole sketch. Sign-bit LSH only needs the plane directions
+    to be uniformly random on the sphere's orthants; ±1 Rademacher planes
+    give the same collision-probability law as Gaussians."""
+    import hashlib
+
+    signs = np.empty((tables, bits, dim), dtype=np.int64)
+    for t in range(tables):
+        for b in range(bits):
+            for i in range(dim):
+                h = hashlib.md5(f"{t}:{b}:{i}".encode()).hexdigest()
+                signs[t, b, i] = 1 if h[0] < "8" else -1
+    return signs
+
+
+def md5_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    bits: int = 8,
+    tables: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Hyperplane-LSH ANN with a fully deterministic, oracle-replayable
+    pipeline: md5-derived ±1 planes, integer sketches over the quantized
+    vectors (sign = integer dot >= 0 — no float in the bucketing path),
+    exact quantized-cosine rerank within candidate buckets. Same plan shape
+    as :func:`hyperplane_lsh_topk` (bucket join replaces the cross-join);
+    the approximation is identical in any engine that replays the planes.
+    """
+    planes = md5_hyperplanes(dim, bits, tables)
+    pow2 = 1 << np.arange(bits, dtype=np.int64)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def sketch(v: pd.Series) -> pd.Series:
+        out = []
+        for x in v:
+            xv = np.asarray(x, dtype=np.int64)
+            signs = (np.einsum("tbd,d->tb", planes, xv) >= 0).astype(np.int64)
+            out.append((signs @ pow2).tolist())
+        return pd.Series(out)
+
+    c = (
+        corpus.select(
+            F.col(id_col).alias("nn_id"), _quantized(F.col(vec_col)).alias("v")
+        )
+        .withColumn("n2", _dot(F.col("v"), F.col("v")))
+        .select(
+            "nn_id", "v", "n2", F.posexplode(sketch(F.col("v"))).alias("t", "bucket")
+        )
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("q_id"), _quantized(F.col(vec_col)).alias("qv")
+        )
+        .withColumn("qn", _dot(F.col("qv"), F.col("qv")))
+        .select(
+            "q_id", "qv", "qn", F.posexplode(sketch(F.col("qv"))).alias("t", "bucket")
+        )
+    )
+    cand = (
+        c.join(F.broadcast(q), ["t", "bucket"])
+        .filter(F.col("nn_id") != F.col("q_id"))
+        .dropDuplicates(["q_id", "nn_id"])
+    )
+    sim = _cosine(F.col("qv"), F.col("qn"), F.col("v"), F.col("n2"))
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("nn_id").asc())
+    return (
+        cand.withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "nn_id", "rank", "sim")
+    )

@@ -78,6 +78,22 @@ def test_ivf_partial_probe_recall_and_determinism(spark, emb):
     assert recall >= 0.4, f"IVF recall too low: {recall}"
 
 
+def test_md5_lsh_topk_deterministic_and_recall(spark, emb):
+    """The oracle-replayable LSH variant: md5-derived ±1 planes, integer
+    sketches. Deterministic across runs; candidates within shared buckets
+    recover a usable share of the true neighbors."""
+    from mapping_analysis_spark.operators.knn import md5_lsh_topk
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    r1 = md5_lsh_topk(emb, queries, dim=64, k=3, bits=4, tables=12).collect()
+    r2 = md5_lsh_topk(emb, queries, dim=64, k=3, bits=4, tables=12).collect()
+    assert sorted(map(tuple, r1)) == sorted(map(tuple, r2))
+    exact = {(r["q_id"], r["nn_id"]) for r in brute_topk(emb, queries, k=3).collect()}
+    approx = {(r["q_id"], r["nn_id"]) for r in r1}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.7, f"md5-LSH recall too low: {recall}"
+
+
 def test_lsh_deterministic(spark, emb):
     queries = emb.filter(F.col("vec_id") < 5)
     a = sorted(map(tuple, hyperplane_lsh_topk(emb, queries, dim=64).collect()))
