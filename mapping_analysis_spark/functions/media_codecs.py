@@ -169,22 +169,30 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
     return buf.getvalue()
 
 
-def resize_image(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
-    """Block-average downsample to (out_h, out_w, ch), uint8.
+def _resize_axis0(a: np.ndarray, out_n: int) -> np.ndarray:
+    """Area-style resize along axis 0: bin-average when shrinking, pixel
+    replication (the area mapping's degenerate case) when growing."""
+    n = a.shape[0]
+    if out_n >= n:
+        return a[(np.arange(out_n) * n) // out_n]
+    bins = (np.arange(n) * out_n) // n
+    acc = np.zeros((out_n,) + a.shape[1:], dtype=np.float64)
+    np.add.at(acc, bins, a)
+    cnt = np.bincount(bins, minlength=out_n).astype(np.float64)
+    return acc / cnt.reshape((out_n,) + (1,) * (a.ndim - 1))
 
-    Rows/cols are binned by index scaling (area-style), so any input size
-    maps to any smaller-or-equal output size deterministically.
-    """
+
+def resize_image(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Deterministic area-style resize to (out_h, out_w, ch), uint8 — each
+    axis independently bin-averages when shrinking and replicates when
+    growing, so ANY input size maps to ANY output size (a 1×1 payload
+    thumbnailed to 4×4 must not read unmapped cells — found by the
+    hypothesis round-trip property)."""
     if img.ndim == 2:
         img = img[:, :, None]
-    h, w, ch = img.shape
-    ys = (np.arange(h) * out_h) // h
-    xs = (np.arange(w) * out_w) // w
-    acc = np.zeros((out_h, out_w, ch), dtype=np.float64)
-    cnt = np.zeros((out_h, out_w, 1), dtype=np.float64)
-    np.add.at(acc, (ys[:, None], xs[None, :]), img.astype(np.float64))
-    np.add.at(cnt, (ys[:, None], xs[None, :]), 1.0)
-    return np.clip(np.round(acc / cnt), 0, 255).astype(np.uint8)
+    a = _resize_axis0(img.astype(np.float64), out_h)
+    a = np.swapaxes(_resize_axis0(np.swapaxes(a, 0, 1), out_w), 0, 1)
+    return np.clip(np.round(a), 0, 255).astype(np.uint8)
 
 
 def image_features(img: np.ndarray, thumb: int = 4) -> np.ndarray:
