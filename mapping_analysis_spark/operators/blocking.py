@@ -149,6 +149,8 @@ def lsh_band_pairs(
     bands: int = 16,
     rows_per_band: int = 1,
     broadcast_ok: bool = False,
+    size_col: str | None = None,
+    min_size_ratio: float | None = None,
 ) -> DataFrame:
     """MinHash-LSH banding: records sharing any band hash become a candidate
     pair. Returns distinct (a_<id>, b_<id>) — join payloads back afterwards.
@@ -163,10 +165,18 @@ def lsh_band_pairs(
     Jaccard j is (1-j)^b — at j=0.7, b=16 → 4e-9, so exact-verification after
     banding reproduces the brute-force result at test scale while staying
     subquadratic at 100 TB.
+
+    ``size_col`` + ``min_size_ratio``: an EXACT size-ratio prune applied
+    inside the bucket join, before the pair dedup — Jaccard ≥ t forces
+    min(|A|,|B|)/max(|A|,|B|) ≥ t, so filtering at ratio = threshold can
+    never drop a qualifying pair, and on low-entropy inputs (hot-bucket
+    worst case) it cuts the pre-dedup pair volume before the shuffle.
     """
     n = bands * rows_per_band
+    extra = [F.col(size_col)] if size_col else []
     banded = records.select(
         F.col(id_col),
+        *extra,
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -174,7 +184,10 @@ def lsh_band_pairs(
             )
         ).alias("band_idx", "band_sig"),
     ).select(
-        id_col, "band_idx", F.xxhash64(F.col("band_sig").cast("string")).alias("band_hash")
+        id_col,
+        *([size_col] if size_col else []),
+        "band_idx",
+        F.xxhash64(F.col("band_sig").cast("string")).alias("band_hash"),
     )
     # pin the bucket-join parallelism: the banded table compresses to a few
     # MB, so AQE coalesces the join to ~4 tasks while the join itself fans
@@ -184,13 +197,18 @@ def lsh_band_pairs(
         banded = banded.repartition(n_part, "band_idx", "band_hash")
     a = banded.alias("a")
     b = F.broadcast(banded.alias("b")) if broadcast_ok else banded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    cond = (
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_hash") == F.col("b.band_hash"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    )
+    if size_col is not None and min_size_ratio is not None:
+        sa, sb = F.col(f"a.{size_col}"), F.col(f"b.{size_col}")
+        cond = cond & (
+            F.least(sa, sb) >= F.lit(float(min_size_ratio)) * F.greatest(sa, sb)
         )
+    pairs = (
+        a.join(b, cond)
         .select(F.col(f"a.{id_col}").alias(f"a_{id_col}"), F.col(f"b.{id_col}").alias(f"b_{id_col}"))
         .dropDuplicates([f"a_{id_col}", f"b_{id_col}"])
     )

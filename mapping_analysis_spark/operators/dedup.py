@@ -94,11 +94,22 @@ def minhash_lsh_dedup(
     mh = make_minhash_udf(num_hashes=bands, shingle_width=1)
     sig = sh.select(
         "rid",
+        F.size("sg").alias("n_sg"),
         mh(
             F.transform(F.col("sg"), lambda s: F.pmod(F.xxhash64(s), F.lit(4294967296)))
         ).alias("minhash"),
     )
-    cand = lsh_band_pairs(sig, bands=bands, rows_per_band=1, broadcast_ok=small)
+    # in-join exact prune on the STRING-set sizes at ratio = threshold
+    # (Jaccard >= t forces min/max >= t) — cuts the hot-bucket pair volume
+    # before the candidate dedup shuffle
+    cand = lsh_band_pairs(
+        sig,
+        bands=bands,
+        rows_per_band=1,
+        broadcast_ok=small,
+        size_col="n_sg",
+        min_size_ratio=threshold,
+    )
 
     margin = max(0.0, threshold - 0.05)
     hs = sh.select(
