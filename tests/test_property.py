@@ -112,3 +112,52 @@ def test_resize_bounds_and_shape(h, w, oh, ow, seed):
     out = resize_image(img, oh, ow)
     assert out.shape == (oh, ow, 3)
     assert out.min() >= img.min() - 1 and out.max() <= img.max() + 1
+
+
+def _jw_scalar_reference(x: str, y: str) -> float:
+    """Literal Jaro-Winkler from the scalar Jaro (the spec both vectorized
+    kernels claim to be bit-identical to)."""
+    from mapping_analysis_spark.functions.simfns import _jaro
+
+    j = _jaro(x, y)
+    if j > 0.7:
+        l = 0
+        for cx, cy in zip(x[:4], y[:4]):
+            if cx == cy:
+                l += 1
+            else:
+                break
+        j = j + l * 0.1 * (1 - j)
+    return j
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    x=st.text(alphabet=st.characters(codec="ascii", exclude_characters="\x00"), max_size=40),
+    y=st.text(alphabet=st.characters(codec="ascii", exclude_characters="\x00"), max_size=40),
+)
+def test_jaro_winkler_bit_kernel_matches_scalar(x, y):
+    """The bit-parallel ASCII kernel must be bit-identical to the scalar
+    Jaro-Winkler on arbitrary ASCII inputs (the oracle depends on it)."""
+    import pandas as pd
+
+    from mapping_analysis_spark.functions.simfns import jaro_winkler
+
+    got = float(jaro_winkler.func(pd.Series([x]), pd.Series([y])).iloc[0])
+    assert got == _jw_scalar_reference(x, y)
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    x=st.text(max_size=30),
+    y=st.text(max_size=30),
+)
+def test_jaro_winkler_masked_kernel_matches_scalar(x, y):
+    """Non-ASCII (and NUL-bearing) inputs route to the masked-matrix kernel
+    — same bit-identity contract vs the scalar reference."""
+    import pandas as pd
+
+    from mapping_analysis_spark.functions.simfns import jaro_winkler
+
+    got = float(jaro_winkler.func(pd.Series([x]), pd.Series([y])).iloc[0])
+    assert got == _jw_scalar_reference(x, y)
