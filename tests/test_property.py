@@ -161,3 +161,23 @@ def test_jaro_winkler_masked_kernel_matches_scalar(x, y):
 
     got = float(jaro_winkler.func(pd.Series([x]), pd.Series([y])).iloc[0])
     assert got == _jw_scalar_reference(x, y)
+
+
+@settings(max_examples=120, deadline=None)
+@given(x=st.text(max_size=25), y=st.text(max_size=25))
+def test_simmetrics_trigram_kernel_matches_counter_scalar(x, y):
+    """The vectorized simmetrics trigram-cosine (the metric every real-data
+    quality anchor rests on) must be bit-identical to the Counter-based
+    scalar across arbitrary strings, not just the fixture labels."""
+    import pandas as pd
+
+    from mapping_analysis_spark.music import (
+        _simmetrics_cosine,
+        _trigrams,
+        trigram_cosine_simmetrics,
+    )
+
+    got = float(trigram_cosine_simmetrics.func(pd.Series([x]), pd.Series([y])).iloc[0])
+    ta, tb = _trigrams(x), _trigrams(y)
+    want = _simmetrics_cosine(ta, sum(ta.values()), tb, sum(tb.values()))
+    assert got == want
