@@ -43,31 +43,41 @@ def decode_png(payload: bytes) -> np.ndarray:
     """
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG (bad signature)")
-    pos, idat, plte = 8, [], None
-    w = h = depth = ctype = interlace = None
-    while pos < len(payload):
-        (length,) = struct.unpack(">I", payload[pos : pos + 4])
-        ctag = payload[pos + 4 : pos + 8]
-        data = payload[pos + 8 : pos + 8 + length]
-        pos += 12 + length  # len + tag + data + crc
-        if ctag == b"IHDR":
-            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
-                ">IIBBBBB", data
+    # truncated/corrupt payloads surface struct.error, zlib.error, or shape
+    # errors below — normalize ALL of them to the documented ValueError so
+    # callers' fallback paths need exactly one except clause
+    try:
+        pos, idat, plte = 8, [], None
+        w = h = depth = ctype = interlace = None
+        while pos < len(payload):
+            (length,) = struct.unpack(">I", payload[pos : pos + 4])
+            ctag = payload[pos + 4 : pos + 8]
+            data = payload[pos + 8 : pos + 8 + length]
+            pos += 12 + length  # len + tag + data + crc
+            if ctag == b"IHDR":
+                w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                    ">IIBBBBB", data
+                )
+            elif ctag == b"PLTE":
+                plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+            elif ctag == b"IDAT":
+                idat.append(data)
+            elif ctag == b"IEND":
+                break
+        if w is None:
+            raise ValueError("PNG missing IHDR")
+        if depth != 8 or interlace != 0 or ctype not in _CHANNELS:
+            raise ValueError(
+                f"unsupported PNG shape: depth={depth} ctype={ctype} interlace={interlace}"
             )
-        elif ctag == b"PLTE":
-            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
-        elif ctag == b"IDAT":
-            idat.append(data)
-        elif ctag == b"IEND":
-            break
-    if w is None:
-        raise ValueError("PNG missing IHDR")
-    if depth != 8 or interlace != 0 or ctype not in _CHANNELS:
-        raise ValueError(f"unsupported PNG shape: depth={depth} ctype={ctype} interlace={interlace}")
-    ch = _CHANNELS[ctype]
-    raw = zlib.decompress(b"".join(idat))
-    stride = w * ch
-    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+        ch = _CHANNELS[ctype]
+        raw = zlib.decompress(b"".join(idat))
+        stride = w * ch
+        rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    except ValueError:
+        raise
+    except Exception as exc:
+        raise ValueError(f"malformed PNG: {exc}") from exc
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     for y in range(h):
@@ -215,6 +225,10 @@ def audio_features(samples: np.ndarray, rate: int, n_bands: int = 8) -> np.ndarr
     FFT band energies (L1-normalized). Pure numpy (rfft)."""
     mono = samples.mean(axis=1) if samples.ndim == 2 else samples
     n = len(mono)
+    if n == 0:
+        # spec-valid 0-frame WAV: the fixed-dim contract must hold (rfft of
+        # 0 points raises) — all-zero features, not a fallback-length vector
+        return np.zeros(4 + n_bands, dtype=np.float32)
     dur = n / float(rate)
     rms = float(np.sqrt(np.mean(mono**2))) if n else 0.0
     zcr = float(np.mean(np.abs(np.diff(np.signbit(mono))))) if n > 1 else 0.0

@@ -48,7 +48,10 @@ def write_bucketed(
     cores, each bucket ≲ a few GB) — NOT to the test-scale row count.
     """
     spark = df.sparkSession
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    if mode == "overwrite":
+        # only overwrite clears the previous catalog entry — append/error/
+        # ignore must see the existing table, not a freshly dropped one
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
     w = df.write.format("parquet").mode(mode).bucketBy(n_buckets, key)
     if sort:
         w = w.sortBy(key)

@@ -116,9 +116,15 @@ def connected_components(
     # (count, hash-sum) convergence seed is only worth a job on the
     # distributed path, which computes it itself.
     # limit() takes a JVM int — a huge force-driver threshold (tests use
-    # 1<<40) must not overflow it; beyond INT_MAX the probe is unbounded
-    pdf = e.limit(min(driver_threshold + 1, 2**31 - 1)).toPandas()
-    if len(pdf) > driver_threshold:
+    # 1<<40) must not overflow it. If the probe comes back exactly at the
+    # cap, the edge set may have been truncated AT the cap — union-find on
+    # a truncated set would silently split components, so that case must
+    # also take the distributed path. (On the > threshold branch the probe
+    # transfer is discarded — a bounded ~30 MB cost at the 1M default,
+    # accepted so the small/streaming path stays one action.)
+    cap = min(driver_threshold + 1, 2**31 - 1)
+    pdf = e.limit(cap).toPandas()
+    if len(pdf) > driver_threshold or len(pdf) == cap:
         return large_star_small_star(
             edges, src, dst, max_iter, input_distinct=input_distinct
         )

@@ -297,6 +297,9 @@ def md5_lsh_topk(
     def sketch(v: pd.Series) -> pd.Series:
         out = []
         for x in v:
+            if x is None:  # NULL embedding → bucket 0 everywhere, like the
+                out.append([0] * tables)  # Gaussian sibling — never a task kill
+                continue
             xv = np.asarray(x, dtype=np.int64)
             signs = (np.einsum("tbd,d->tb", planes, xv) >= 0).astype(np.int64)
             out.append((signs @ pow2).tolist())

@@ -111,10 +111,16 @@ def extract_features(
     (real PNG/WAV decode, per-codec fallback); ``decode_fn`` overrides both.
     """
 
+    # codec is consulted only on the use_codecs routing path — a production
+    # table carrying just (media_id, kind, payload) plus its own decode_fn
+    # must keep working without a codec column
+    need_codec = use_codecs and decode_fn is None
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = []
-            for payload, codec in zip(pdf["payload"], pdf["codec"]):
+            codecs = pdf["codec"] if need_codec else [None] * len(pdf)
+            for payload, codec in zip(pdf["payload"], codecs):
                 if decode_fn is not None:
                     vec = np.asarray(decode_fn(payload), dtype=np.float32)
                 elif use_codecs:
@@ -131,7 +137,8 @@ def extract_features(
                 }
             )
 
-    cols = media.select("media_id", "kind", "payload", "codec")
+    sel = ["media_id", "kind", "payload"] + (["codec"] if need_codec else [])
+    cols = media.select(*sel)
     _ = batch_hint
     return cols.mapInPandas(kernel, FEATURE_SCHEMA)
 

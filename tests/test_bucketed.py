@@ -76,3 +76,21 @@ def test_bucketed_reread_keeps_layout(spark, bucketed_pair):
     d, e = bucketed_pair
     d2, e2 = read_bucketed(spark, "t_docs_b"), read_bucketed(spark, "t_emb_b")
     assert n_shuffle_exchanges(d2.join(e2, "doc_id").select("doc_id")) == 0
+
+
+def test_bucketed_append_mode_keeps_existing_rows(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    write_bucketed(docs, "t_docs_app", "doc_id", 4, path=str(tmp_path / "app"))
+    try:
+        n0 = spark.table("t_docs_app").count()
+        write_bucketed(
+            docs.withColumn("doc_id", F.col("doc_id") + 1_000_000),
+            "t_docs_app",
+            "doc_id",
+            4,
+            path=str(tmp_path / "app"),
+            mode="append",
+        )
+        assert spark.table("t_docs_app").count() == 2 * n0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_docs_app")

@@ -123,3 +123,33 @@ def test_frame_sample_plan(spark):
     assert all(r["frame_ts_ms"] % 1000 == 0 for r in rows)
     vids = media.filter(F.col("kind") == "video").count()
     assert plan.select("media_id").distinct().count() == vids
+
+
+def test_md5_lsh_null_embedding_survives(spark, emb):
+    from pyspark.sql.types import ArrayType, FloatType
+
+    from mapping_analysis_spark.operators.knn import md5_lsh_topk
+
+    with_null = emb.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") == 0, F.lit(None).cast(ArrayType(FloatType()))).otherwise(
+            F.col("embedding")
+        ),
+    )
+    out = md5_lsh_topk(
+        with_null.filter(F.col("vec_id") > 0),
+        with_null.filter(F.col("vec_id").isin(1, 2)),
+        dim=64,
+        k=3,
+        bits=4,
+        tables=4,
+    ).collect()
+    assert len(out) > 0  # no task kill from the NULL row
+
+
+def test_extract_features_without_codec_column(spark):
+    import numpy as np
+
+    media = synthetic_media(spark, n=6).drop("codec")
+    rows = extract_features(media, decode_fn=lambda b: np.ones(3, dtype=np.float32)).collect()
+    assert len(rows) == 6 and all(r["feature"] == [1.0, 1.0, 1.0] for r in rows)

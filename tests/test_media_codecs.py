@@ -169,3 +169,15 @@ def test_spark_codec_routing(spark):
     for m, r in feats.items():
         if kinds[m] == "audio":
             assert 0.4 < r["feature"][0] < 3.1
+
+
+def test_audio_features_zero_frames_fixed_dim():
+    feats = audio_features(np.zeros((0, 1), dtype=np.float32), 8000)
+    assert len(feats) == 12 and not np.any(feats)
+
+
+def test_png_malformed_raises_valueerror_only():
+    ok = encode_png(np.zeros((4, 4, 3), dtype=np.uint8))
+    for bad in (ok[:20], ok[:-8], ok[:40] + b"\x00" * 10):
+        with pytest.raises(ValueError):
+            decode_png(bad)
