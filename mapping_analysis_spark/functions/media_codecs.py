@@ -49,10 +49,13 @@ def decode_png(payload: bytes) -> np.ndarray:
     try:
         pos, idat, plte = 8, [], None
         w = h = depth = ctype = interlace = None
+        saw_iend = False
         while pos < len(payload):
             (length,) = struct.unpack(">I", payload[pos : pos + 4])
             ctag = payload[pos + 4 : pos + 8]
             data = payload[pos + 8 : pos + 8 + length]
+            if len(data) < length or pos + 12 + length > len(payload):
+                raise ValueError("PNG truncated mid-chunk")
             pos += 12 + length  # len + tag + data + crc
             if ctag == b"IHDR":
                 w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
@@ -63,7 +66,10 @@ def decode_png(payload: bytes) -> np.ndarray:
             elif ctag == b"IDAT":
                 idat.append(data)
             elif ctag == b"IEND":
+                saw_iend = True
                 break
+        if not saw_iend:
+            raise ValueError("PNG truncated: stream ended without IEND")
         if w is None:
             raise ValueError("PNG missing IHDR")
         if depth != 8 or interlace != 0 or ctype not in _CHANNELS:

@@ -8,12 +8,32 @@ second, so small-scale output equals the brute-force oracle.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from mapping_analysis_spark.functions.simfns import make_minhash_udf, make_simhash_udf
 from mapping_analysis_spark.functions.text import token_set_jaccard
 from mapping_analysis_spark.operators.blocking import lsh_band_pairs
+
+# Dense-bitset route gates (see minhash_lsh_dedup): the route is taken only
+# when the corpus' distinct-shingle vocabulary is small enough that every
+# document's shingle set fits in a short bitmask AND the whole mask table
+# fits in one comfortable broadcast. Both are env-parameterised so cluster
+# deployments can raise them with executor memory; the *decision* only picks
+# between two exact plans, so it can never change results.
+DENSE_VOCAB_MAX = int(os.environ.get("SPARK_GRAFT_DENSE_VOCAB_MAX", "32768"))
+DENSE_MASK_MB = int(os.environ.get("SPARK_GRAFT_DENSE_MASK_MB", "256"))
+# GEMM work budget for the dense route: the pair scan costs ~n²/2 × |vocab|
+# multiply-adds, so admit it only when that stays under a cluster-seconds
+# budget (default 5 TFLOP ≈ single-digit seconds on 32 cores). Above it the
+# banded-LSH plan wins back because a wider vocabulary is exactly what makes
+# MinHash bands selective again. Plan choice only — both plans are exact.
+DENSE_GEMM_GFLOP_MAX = float(os.environ.get("SPARK_GRAFT_DENSE_GEMM_GFLOP_MAX", "5000"))
+# sample this many docs for the cheap pre-gate; a high-entropy corpus blows
+# the vocab budget within the sample and skips the full distinct pass
+_DENSE_SAMPLE_DOCS = 1024
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -39,6 +59,180 @@ def word_shingles(df: DataFrame, text_col: str = "text", width: int = 3, out: st
         lambda i: F.concat_ws(" ", *[F.try_element_at(tk, i + j) for j in range(width)]),
     )
     return df.withColumn(out, F.array_distinct(sh))
+
+
+def _dense_vocab_or_none(sh: DataFrame) -> list[str] | None:
+    """The dense-route gate: the sorted distinct-shingle vocabulary if it is
+    small (<= DENSE_VOCAB_MAX), else None.
+
+    Two phases so high-entropy corpora bail out cheaply: a 1k-doc sample
+    whose own vocabulary already exceeds the budget proves the full corpus
+    does too (distinct counts only grow), skipping the full-distinct pass;
+    only low-entropy corpora pay one distinct-shuffle over the shingle
+    incidence list (collect bounded at DENSE_VOCAB_MAX + 1 rows)."""
+    sample = (
+        sh.limit(_DENSE_SAMPLE_DOCS)
+        .select(F.explode("sg").alias("s"))
+        .agg(F.approx_count_distinct("s").alias("c"))
+        .collect()[0][0]
+    )
+    if sample > DENSE_VOCAB_MAX * 1.2:
+        return None
+    vocab_rows = (
+        sh.select(F.explode("sg").alias("s"))
+        .distinct()
+        .limit(DENSE_VOCAB_MAX + 1)
+        .collect()
+    )
+    if len(vocab_rows) > DENSE_VOCAB_MAX:
+        return None
+    return sorted(r.s for r in vocab_rows)
+
+
+def _dense_jaccard_pairs(sh: DataFrame, threshold: float, vocab: list[str]) -> DataFrame:
+    """Exact all-pairs Jaccard >= threshold over a small shingle vocabulary.
+
+    On a low-entropy corpus (e.g. documents drawn from a ~31-word vocab:
+    931 possible word-2-grams) MinHash banding degenerates — at sf0.1 the
+    band join emitted 49 % of ALL pairs as candidates, each paying a hashed
+    set intersection — while every document's distinct-shingle set fits in a
+    |vocab|-bit mask and the whole corpus' masks fit in a few MB. This route
+    therefore shuffles *metadata instead of payloads* (guide §2.3/§8):
+
+    1. one distributed pass builds (rid, n, packed-bitmask) per doc;
+    2. the mask table (gated <= DENSE_MASK_MB) is collected and broadcast;
+    3. pair scan = blocked float32 GEMM over the 0/1 mask matrix — the
+       intersection size of two sets is the dot product of their bit
+       vectors, exact in float32 for |vocab| < 2^24 — with a size-ratio
+       window (sorted by set size, a partner needs n_b <= n_a / t), split
+       into equal-work chunks across the cluster.
+
+    Exactness: bit vectors are built from the *string* shingles via a
+    collected vocabulary (no hashing anywhere), intersections are integer
+    dot products, and sim = inter / union in float64 — identical arithmetic
+    to the Catalyst `size(array_intersect)/size(union)` plan, so the output
+    EQUALS the brute-force oracle with no LSH miss probability at all.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = sh.sparkSession
+    sc = spark.sparkContext
+    v = len(vocab)
+    w8 = (v + 7) // 8
+    vindex = {s: i for i, s in enumerate(vocab)}
+    bc_vocab = sc.broadcast(vindex)
+
+    def build_masks(batches):
+        vi = bc_vocab.value
+        nbits = len(vi)
+        for pdf in batches:
+            bits = np.zeros((len(pdf), nbits), dtype=np.uint8)
+            ns = np.zeros(len(pdf), dtype=np.int64)
+            for r, sg in enumerate(pdf["sg"]):
+                idx = [vi[s] for s in sg]
+                bits[r, idx] = 1
+                ns[r] = len(idx)
+            packed = np.packbits(bits, axis=1)
+            yield pd.DataFrame(
+                {
+                    "rid": pdf["rid"].astype(np.int64),
+                    "n": ns,
+                    "mask": [row.tobytes() for row in packed],
+                }
+            )
+
+    mt = (
+        sh.mapInPandas(build_masks, "rid long, n long, mask binary")
+        .toPandas()
+    )
+    n_docs = len(mt)
+    if n_docs == 0:
+        return spark.createDataFrame([], "a_doc long, b_doc long, sim double")
+    order = np.lexsort((mt["rid"].to_numpy(), mt["n"].to_numpy()))
+    rids = mt["rid"].to_numpy()[order]
+    sizes = mt["n"].to_numpy()[order]
+    m8 = np.vstack([np.frombuffer(b, dtype=np.uint8) for b in mt["mask"]])[order]
+    # size-ratio window: Jaccard >= t forces min(n)/max(n) >= t, so row i
+    # (sizes ascending) only pairs with rows < jhi[i]
+    jhi = np.searchsorted(sizes, sizes / threshold, side="right").astype(np.int64)
+    work = np.maximum(jhi - np.arange(n_docs) - 1, 0)
+    cum = np.concatenate([[0], np.cumsum(work)])
+    total = int(cum[-1])
+    if total == 0:
+        return spark.createDataFrame([], "a_doc long, b_doc long, sim double")
+    n_chunks = max(1, min(sc.defaultParallelism * 3, (total // 200_000) + 1))
+    marks = np.linspace(0, total, n_chunks + 1)
+    bounds = np.unique(np.searchsorted(cum, marks, side="left"))
+    chunks = [
+        (int(lo), int(hi)) for lo, hi in zip(bounds[:-1], bounds[1:]) if hi > lo
+    ]
+    bc = sc.broadcast((m8, sizes, rids, jhi))
+    t = float(threshold)
+    nbits = v
+
+    # bound per-worker unpacked float32 buffers: the probe side is processed
+    # in j-blocks of ~256 MB regardless of vocab width
+    jblock = max(256, (256 * 2**20) // max(1, nbits * 4))
+
+    def scan(batches):
+        m8_, sizes_, rids_, jhi_ = bc.value
+
+        def unpack(lo, hi):
+            return np.unpackbits(m8_[lo:hi], axis=1)[:, :nbits].astype(np.float32)
+
+        for pdf in batches:
+            out_a, out_b, out_s = [], [], []
+            for lo, hi in zip(pdf["lo"], pdf["hi"]):
+                lo, hi = int(lo), int(hi)
+                if hi <= lo:
+                    continue
+                jmax = max(int(jhi_[hi - 1]), hi)
+                # float32 GEMM over 0/1 bit vectors computes exact integer
+                # intersections (|vocab| < 2^24)
+                base = unpack(lo, hi)
+                for p in range(lo, jmax, jblock):
+                    q = min(p + jblock, jmax)
+                    # rows whose window reaches this j-block form a suffix
+                    # (jhi is nondecreasing because sizes are sorted)
+                    i0 = lo + int(
+                        np.searchsorted(jhi_[lo:hi], p, side="right")
+                    )
+                    if i0 >= hi:
+                        continue
+                    bj = unpack(p, q)
+                    g = base[i0 - lo :] @ bj.T
+                    for r in range(hi - i0):
+                        gi = i0 + r
+                        s = max(gi + 1, p)
+                        e = min(int(jhi_[gi]), q)
+                        if e <= s:
+                            continue
+                        inter = g[r, s - p : e - p].astype(np.int64)
+                        union = sizes_[gi] + sizes_[s:e] - inter
+                        ok = union > 0
+                        sim = np.zeros(len(inter), dtype=np.float64)
+                        sim[ok] = inter[ok] / union[ok]
+                        sel = sim >= t
+                        if sel.any():
+                            others = rids_[s:e][sel]
+                            me = np.full(len(others), rids_[gi], dtype=np.int64)
+                            out_a.append(np.minimum(me, others))
+                            out_b.append(np.maximum(me, others))
+                            out_s.append(sim[sel])
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "a_doc": np.concatenate(out_a),
+                        "b_doc": np.concatenate(out_b),
+                        "sim": np.concatenate(out_s),
+                    }
+                )
+
+    cdf = spark.createDataFrame(
+        pd.DataFrame({"lo": [c[0] for c in chunks], "hi": [c[1] for c in chunks]})
+    ).repartition(len(chunks))
+    return cdf.mapInPandas(scan, "a_doc long, b_doc long, sim double")
 
 
 def minhash_lsh_dedup(
@@ -90,7 +284,20 @@ def minhash_lsh_dedup(
         .select(F.col(id_col).cast("string").alias("rid"), "sg")
         .localCheckpoint(eager=True)
     )
-    small = sh.count() <= BROADCAST_MAX_RECORDS
+    n_docs = sh.count()
+    # Low-entropy corpora (tiny shingle vocabulary) defeat MinHash banding —
+    # nearly every pair collides in some band — but admit an exact dense
+    # bitset plan instead; see _dense_jaccard_pairs. Identical output either
+    # way (both plans are exact-verified >= threshold), so the gate is pure
+    # plan choice.
+    vocab = _dense_vocab_or_none(sh)
+    if (
+        vocab is not None
+        and n_docs * ((len(vocab) + 7) // 8 + 32) <= DENSE_MASK_MB * 2**20
+        and (n_docs * n_docs / 2) * len(vocab) <= DENSE_GEMM_GFLOP_MAX * 1e9
+    ):
+        return _dense_jaccard_pairs(sh, threshold, vocab)
+    small = n_docs <= BROADCAST_MAX_RECORDS
     mh = make_minhash_udf(num_hashes=bands, shingle_width=1)
     sig = sh.select(
         "rid",
