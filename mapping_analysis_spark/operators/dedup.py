@@ -31,6 +31,11 @@ DENSE_MASK_MB = int(os.environ.get("SPARK_GRAFT_DENSE_MASK_MB", "256"))
 # banded-LSH plan wins back because a wider vocabulary is exactly what makes
 # MinHash bands selective again. Plan choice only — both plans are exact.
 DENSE_GEMM_GFLOP_MAX = float(os.environ.get("SPARK_GRAFT_DENSE_GEMM_GFLOP_MAX", "5000"))
+# per-worker budget for caching the fully-unpacked float32 mask matrix
+# across tasks AND invocations (reused Python workers, guide §4.5); keyed by
+# a content digest so a stale cache can never serve wrong data
+DENSE_UNPACK_CACHE_MB = int(os.environ.get("SPARK_GRAFT_DENSE_UNPACK_CACHE_MB", "512"))
+_DENSE_UNPACK_CACHE: dict = {}
 # sample this many docs for the cheap pre-gate; a high-entropy corpus blows
 # the vocab budget within the sample and skips the full distinct pass
 _DENSE_SAMPLE_DOCS = 1024
@@ -61,35 +66,79 @@ def word_shingles(df: DataFrame, text_col: str = "text", width: int = 3, out: st
     return df.withColumn(out, F.array_distinct(sh))
 
 
-def _dense_vocab_or_none(sh: DataFrame) -> list[str] | None:
-    """The dense-route gate: the sorted distinct-shingle vocabulary if it is
-    small (<= DENSE_VOCAB_MAX), else None.
+def _py_shingles(text: str, width: int) -> set:
+    """Distinct word w-shingles of ``text``, bit-identical to the
+    ``word_shingles`` Catalyst expression (split on single space; a doc
+    shorter than ``width`` tokens yields one truncated shingle — concat_ws
+    skips the out-of-range NULLs)."""
+    tk = (text or "").split(" ")
+    n = max(1, len(tk) - (width - 1))
+    return {" ".join(tk[i : i + width]) for i in range(n)}
 
-    Two phases so high-entropy corpora bail out cheaply: a 1k-doc sample
-    whose own vocabulary already exceeds the budget proves the full corpus
-    does too (distinct counts only grow), skipping the full-distinct pass;
-    only low-entropy corpora pay one distinct-shuffle over the shingle
-    incidence list (collect bounded at DENSE_VOCAB_MAX + 1 rows)."""
-    sample = (
-        sh.limit(_DENSE_SAMPLE_DOCS)
-        .select(F.explode("sg").alias("s"))
-        .agg(F.approx_count_distinct("s").alias("c"))
-        .collect()[0][0]
+
+def _dense_gates_ok(n_docs: int, vocab_size: int) -> bool:
+    """Gate predicate, monotone in vocab_size: vocabulary bound, mask-table
+    bytes, and GEMM work all within budget."""
+    return (
+        vocab_size <= DENSE_VOCAB_MAX
+        and n_docs * ((vocab_size + 7) // 8 + 32) <= DENSE_MASK_MB * 2**20
+        and (n_docs * n_docs / 2) * vocab_size <= DENSE_GEMM_GFLOP_MAX * 1e9
     )
-    if sample > DENSE_VOCAB_MAX * 1.2:
+
+
+def _dense_vocab_or_none(
+    df: DataFrame, text_col: str, width: int, n_docs: int
+) -> list[str] | None:
+    """The dense-route gate: the sorted distinct-shingle vocabulary if all
+    gates pass, else None.
+
+    Two phases so ineligible corpora bail out cheaply: a 1k-doc sample's
+    distinct count is a lower bound on the corpus vocabulary — every gate
+    is monotone decreasing in vocab size, so failing the gates at the
+    sample count proves the full corpus fails too, skipping the full pass.
+    Only plausibly-eligible corpora pay one distinct pass over per-partition
+    shingle sets (collect bounded at DENSE_VOCAB_MAX + 1 rows)."""
+    import pandas as pd
+
+    def part_vocab(batches):
+        seen: set = set()
+        for pdf in batches:
+            for text in pdf[text_col]:
+                seen.update(_py_shingles(text, width))
+                if len(seen) > DENSE_VOCAB_MAX:  # already over budget
+                    yield pd.DataFrame({"s": list(seen)[: DENSE_VOCAB_MAX + 1]})
+                    return
+        yield pd.DataFrame({"s": list(seen)})
+
+    txt = df.select(F.col(text_col))
+    sample = (
+        txt.limit(_DENSE_SAMPLE_DOCS)
+        .mapInPandas(part_vocab, "s string")
+        .distinct()
+        .limit(DENSE_VOCAB_MAX + 2)
+        .count()
+    )
+    if not _dense_gates_ok(n_docs, int(sample)):
         return None
     vocab_rows = (
-        sh.select(F.explode("sg").alias("s"))
+        txt.mapInPandas(part_vocab, "s string")
         .distinct()
         .limit(DENSE_VOCAB_MAX + 1)
         .collect()
     )
-    if len(vocab_rows) > DENSE_VOCAB_MAX:
+    if not _dense_gates_ok(n_docs, len(vocab_rows)):
         return None
     return sorted(r.s for r in vocab_rows)
 
 
-def _dense_jaccard_pairs(sh: DataFrame, threshold: float, vocab: list[str]) -> DataFrame:
+def _dense_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    width: int,
+    threshold: float,
+    vocab: list[str],
+) -> DataFrame:
     """Exact all-pairs Jaccard >= threshold over a small shingle vocabulary.
 
     On a low-entropy corpus (e.g. documents drawn from a ~31-word vocab:
@@ -99,7 +148,8 @@ def _dense_jaccard_pairs(sh: DataFrame, threshold: float, vocab: list[str]) -> D
     |vocab|-bit mask and the whole corpus' masks fit in a few MB. This route
     therefore shuffles *metadata instead of payloads* (guide §2.3/§8):
 
-    1. one distributed pass builds (rid, n, packed-bitmask) per doc;
+    1. one distributed pass over raw text builds (rid, n, packed-bitmask)
+       per doc (no string-shingle arrays are ever materialized);
     2. the mask table (gated <= DENSE_MASK_MB) is collected and broadcast;
     3. pair scan = blocked float32 GEMM over the 0/1 mask matrix — the
        intersection size of two sets is the dot product of their bit
@@ -116,10 +166,9 @@ def _dense_jaccard_pairs(sh: DataFrame, threshold: float, vocab: list[str]) -> D
     import numpy as np
     import pandas as pd
 
-    spark = sh.sparkSession
+    spark = df.sparkSession
     sc = spark.sparkContext
     v = len(vocab)
-    w8 = (v + 7) // 8
     vindex = {s: i for i, s in enumerate(vocab)}
     bc_vocab = sc.broadcast(vindex)
 
@@ -129,21 +178,22 @@ def _dense_jaccard_pairs(sh: DataFrame, threshold: float, vocab: list[str]) -> D
         for pdf in batches:
             bits = np.zeros((len(pdf), nbits), dtype=np.uint8)
             ns = np.zeros(len(pdf), dtype=np.int64)
-            for r, sg in enumerate(pdf["sg"]):
-                idx = [vi[s] for s in sg]
+            for r, text in enumerate(pdf[text_col]):
+                idx = [vi[s] for s in _py_shingles(text, width)]
                 bits[r, idx] = 1
                 ns[r] = len(idx)
             packed = np.packbits(bits, axis=1)
             yield pd.DataFrame(
                 {
-                    "rid": pdf["rid"].astype(np.int64),
+                    "rid": pdf[id_col].astype(np.int64),
                     "n": ns,
                     "mask": [row.tobytes() for row in packed],
                 }
             )
 
     mt = (
-        sh.mapInPandas(build_masks, "rid long, n long, mask binary")
+        df.select(F.col(id_col), F.col(text_col))
+        .mapInPandas(build_masks, "rid long, n long, mask binary")
         .toPandas()
     )
     n_docs = len(mt)
@@ -161,73 +211,108 @@ def _dense_jaccard_pairs(sh: DataFrame, threshold: float, vocab: list[str]) -> D
     total = int(cum[-1])
     if total == 0:
         return spark.createDataFrame([], "a_doc long, b_doc long, sim double")
-    n_chunks = max(1, min(sc.defaultParallelism * 3, (total // 200_000) + 1))
+    # 4 chunks per core, equal-work split: the worker pool is bounded by the
+    # task-slot count (= cores), so oversplitting does not spawn extra
+    # Python workers (whose per-worker setup — the cached-matrix unpack —
+    # dwarfs the GEMM), while FIFO draining rebalances around slow cores
+    # (measured: 32 equal chunks wall 6.7 s with one 4x-slow straggler; 128
+    # chunks wall 3.8 s, same 32 workers, zero cache misses)
+    n_chunks = max(1, min(sc.defaultParallelism * 4, (total // 200_000) + 1))
     marks = np.linspace(0, total, n_chunks + 1)
     bounds = np.unique(np.searchsorted(cum, marks, side="left"))
     chunks = [
         (int(lo), int(hi)) for lo, hi in zip(bounds[:-1], bounds[1:]) if hi > lo
     ]
-    bc = sc.broadcast((m8, sizes, rids, jhi))
-    t = float(threshold)
-    nbits = v
+    import hashlib
 
-    # bound per-worker unpacked float32 buffers: the probe side is processed
-    # in j-blocks of ~256 MB regardless of vocab width
-    jblock = max(256, (256 * 2**20) // max(1, nbits * 4))
+    digest = hashlib.blake2b(
+        m8.tobytes() + sizes.tobytes(), digest_size=16
+    ).hexdigest()
+    bc = sc.broadcast((digest, m8, sizes, rids, jhi))
+    t = float(threshold)
+    t32 = np.float32(threshold)
+    nbits = v
+    # probe rows are unpacked to float32 in fixed-grid slabs cached per
+    # (reused) worker process: grid alignment makes slabs shareable across
+    # tasks and invocations (digest-keyed, so a stale entry can never serve
+    # wrong data), and a pool-churned fresh worker only unpacks the 2-3
+    # slabs its chunk touches instead of the whole matrix
+    slab_rows = 8192
+    cache_cap = DENSE_UNPACK_CACHE_MB * 2**20
 
     def scan(batches):
-        m8_, sizes_, rids_, jhi_ = bc.value
+        digest_, m8_, sizes_, rids_, jhi_ = bc.value
+        sizes32 = sizes_.astype(np.float32)
+        n_rows = len(m8_)
 
         def unpack(lo, hi):
             return np.unpackbits(m8_[lo:hi], axis=1)[:, :nbits].astype(np.float32)
 
+        def slab(k):
+            key = (digest_, k)
+            val = _DENSE_UNPACK_CACHE.get(key)
+            if val is None:
+                held = sum(a.nbytes for a in _DENSE_UNPACK_CACHE.values())
+                if held > cache_cap:
+                    _DENSE_UNPACK_CACHE.clear()
+                val = unpack(k * slab_rows, min((k + 1) * slab_rows, n_rows))
+                _DENSE_UNPACK_CACHE[key] = val
+            return val
+
+        out_a, out_b, out_s = [], [], []
+
+        def rect(i, j, s, e, base, probe, off_p):
+            # float32 GEMM over 0/1 bit vectors: exact integer intersections
+            # (|vocab| < 2^24). Pre-filter in float32 with a 0.5 margin —
+            # i >= t*u - 0.5 can only over-select (fp error << 0.5 for
+            # |vocab| <= 2^15) — then confirm the sparse survivors with the
+            # exact float64 i/u >= t and the window bounds.
+            g = base @ probe[s - off_p : e - off_p].T
+            rhs = (sizes32[i:j, None] + sizes32[None, s:e] - g) * t32
+            ri, ci = np.nonzero(g >= rhs - np.float32(0.5))
+            if not len(ri):
+                return
+            gi = ri + i
+            gj = ci + s
+            keep = (gj > gi) & (gj < jhi_[gi])
+            if not keep.any():
+                return
+            gi, gj = gi[keep], gj[keep]
+            inter = g[ri[keep], ci[keep]].astype(np.int64)
+            union = sizes_[gi] + sizes_[gj] - inter
+            sim = inter / union  # float64, union >= 1 always (sets nonempty)
+            k2 = sim >= t
+            if not k2.any():
+                return
+            me, others = rids_[gi[k2]], rids_[gj[k2]]
+            out_a.append(np.minimum(me, others))
+            out_b.append(np.maximum(me, others))
+            out_s.append(sim[k2])
+
         for pdf in batches:
-            out_a, out_b, out_s = [], [], []
             for lo, hi in zip(pdf["lo"], pdf["hi"]):
                 lo, hi = int(lo), int(hi)
-                if hi <= lo:
-                    continue
-                jmax = max(int(jhi_[hi - 1]), hi)
-                # float32 GEMM over 0/1 bit vectors computes exact integer
-                # intersections (|vocab| < 2^24)
-                base = unpack(lo, hi)
-                for p in range(lo, jmax, jblock):
-                    q = min(p + jblock, jmax)
-                    # rows whose window reaches this j-block form a suffix
-                    # (jhi is nondecreasing because sizes are sorted)
-                    i0 = lo + int(
-                        np.searchsorted(jhi_[lo:hi], p, side="right")
-                    )
-                    if i0 >= hi:
-                        continue
-                    bj = unpack(p, q)
-                    g = base[i0 - lo :] @ bj.T
-                    for r in range(hi - i0):
-                        gi = i0 + r
-                        s = max(gi + 1, p)
-                        e = min(int(jhi_[gi]), q)
-                        if e <= s:
-                            continue
-                        inter = g[r, s - p : e - p].astype(np.int64)
-                        union = sizes_[gi] + sizes_[s:e] - inter
-                        ok = union > 0
-                        sim = np.zeros(len(inter), dtype=np.float64)
-                        sim[ok] = inter[ok] / union[ok]
-                        sel = sim >= t
-                        if sel.any():
-                            others = rids_[s:e][sel]
-                            me = np.full(len(others), rids_[gi], dtype=np.int64)
-                            out_a.append(np.minimum(me, others))
-                            out_b.append(np.maximum(me, others))
-                            out_s.append(sim[sel])
-            if out_a:
-                yield pd.DataFrame(
-                    {
-                        "a_doc": np.concatenate(out_a),
-                        "b_doc": np.concatenate(out_b),
-                        "sim": np.concatenate(out_s),
-                    }
-                )
+                # 64-row base groups whose rectangles hug the size-ratio
+                # windows (jhi monotone); probe columns ride the slab grid
+                i = lo
+                while i < hi:
+                    j = min(i + 64, hi)
+                    s, e = i + 1, int(jhi_[j - 1])
+                    if e > s:
+                        base = unpack(i, j)
+                        for k in range(s // slab_rows, (e - 1) // slab_rows + 1):
+                            p = max(s, k * slab_rows)
+                            q = min(e, (k + 1) * slab_rows)
+                            rect(i, j, p, q, base, slab(k), k * slab_rows)
+                    i = j
+        if out_a:
+            yield pd.DataFrame(
+                {
+                    "a_doc": np.concatenate(out_a),
+                    "b_doc": np.concatenate(out_b),
+                    "sim": np.concatenate(out_s),
+                }
+            )
 
     cdf = spark.createDataFrame(
         pd.DataFrame({"lo": [c[0] for c in chunks], "hi": [c[1] for c in chunks]})
@@ -273,30 +358,29 @@ def minhash_lsh_dedup(
     from mapping_analysis_spark.pipeline import BROADCAST_MAX_RECORDS
 
     # A small parquet input arrives as a single split, which would pin the
-    # shingle + signature stage (the CPU-heavy part) to ONE core — fan it out
-    # to the cluster's parallelism first. No-op at scale: a 100 TB table
+    # shingle / mask-build stages (the CPU-heavy part) to ONE core — fan it
+    # out to the cluster's parallelism first. No-op at scale: a 100 TB table
     # already has orders of magnitude more splits than cores.
     par = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:
         df = df.repartition(par)
+    # Low-entropy corpora (tiny shingle vocabulary) defeat MinHash banding —
+    # nearly every pair collides in some band — but admit an exact dense
+    # bitset plan instead; see _dense_jaccard_pairs. Identical output either
+    # way (both plans are exact-verified >= threshold), so the gate is pure
+    # plan choice. Gated BEFORE any shingle materialization: the dense route
+    # never builds string-shingle arrays at all.
+    n_docs = df.count()
+    vocab = _dense_vocab_or_none(df, text_col, shingle_width, n_docs)
+    if vocab is not None:
+        return _dense_jaccard_pairs(
+            df, text_col, id_col, shingle_width, threshold, vocab
+        )
     sh = (
         word_shingles(df, text_col, shingle_width)
         .select(F.col(id_col).cast("string").alias("rid"), "sg")
         .localCheckpoint(eager=True)
     )
-    n_docs = sh.count()
-    # Low-entropy corpora (tiny shingle vocabulary) defeat MinHash banding —
-    # nearly every pair collides in some band — but admit an exact dense
-    # bitset plan instead; see _dense_jaccard_pairs. Identical output either
-    # way (both plans are exact-verified >= threshold), so the gate is pure
-    # plan choice.
-    vocab = _dense_vocab_or_none(sh)
-    if (
-        vocab is not None
-        and n_docs * ((len(vocab) + 7) // 8 + 32) <= DENSE_MASK_MB * 2**20
-        and (n_docs * n_docs / 2) * len(vocab) <= DENSE_GEMM_GFLOP_MAX * 1e9
-    ):
-        return _dense_jaccard_pairs(sh, threshold, vocab)
     small = n_docs <= BROADCAST_MAX_RECORDS
     mh = make_minhash_udf(num_hashes=bands, shingle_width=1)
     sig = sh.select(

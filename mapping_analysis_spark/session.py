@@ -49,6 +49,14 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = cores
 
+    # Pin BLAS to one thread per Python worker: every task slot runs its own
+    # worker process, so N concurrent workers x multi-threaded OpenBLAS
+    # oversubscribes the host (measured on the dense GEMM pair scan: ~10 %
+    # worse wall plus a fatter straggler tail). Workers inherit this through
+    # the JVM environment; setdefault so an operator may override it.
+    os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+    os.environ.setdefault("OMP_NUM_THREADS", "1")
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cores}]")

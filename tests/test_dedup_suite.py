@@ -58,6 +58,24 @@ def test_ngram_jaccard_dedup_width_2(spark, docs):
     assert got == _brute_pairs(0.5, 2)
 
 
+def test_dense_and_lsh_routes_agree(spark, docs, monkeypatch):
+    """The dense-bitset route (taken at sf0.001: tiny shingle vocabulary) and
+    the banded-LSH route must emit identical (pair, sim) sets — the gate is
+    pure plan choice."""
+    from mapping_analysis_spark.operators import dedup as dd
+
+    dense = {
+        (r["a_doc"], r["b_doc"], round(r["sim"], 9))
+        for r in minhash_lsh_dedup(docs, threshold=0.5).collect()
+    }
+    monkeypatch.setattr(dd, "DENSE_VOCAB_MAX", 0)  # force the LSH plan
+    lsh = {
+        (r["a_doc"], r["b_doc"], round(r["sim"], 9))
+        for r in minhash_lsh_dedup(docs, threshold=0.5).collect()
+    }
+    assert dense == lsh and len(dense) > 0
+
+
 def test_simhash_dedup_finds_planted_neardups(spark, docs):
     got = {(r["a_doc"], r["b_doc"]) for r in simhash_dedup(docs, max_hamming=6).collect()}
     exact = _brute_pairs(0.8, 3)
