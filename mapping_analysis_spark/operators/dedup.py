@@ -327,15 +327,27 @@ def minhash_lsh_dedup(
     threshold: float = 0.5,
     shingle_width: int = 3,
     bands: int = 32,
+    rows_per_band: int = 1,
 ) -> DataFrame:
     """MinHash-LSH candidates over word shingles, exact-verified Jaccard >=
-    threshold. Miss probability per true pair: (1-threshold)^bands.
+    threshold. Miss probability per true pair at sim = threshold:
+    (1 - threshold^rows_per_band)^bands.
 
-    The MinHash signature is computed over JVM-hashed shingles
-    (``pmod(xxhash64, 2^32)`` — the Arrow batch ships int64 arrays and the
-    Python kernel is pure vectorized modmul; shipping string shingles costs a
-    per-shingle Python crc32, measured as the dominant stage on the
-    documents table).
+    No string shingles are ever materialized on the hot path: the shingle
+    universe is hashed directly as ``xxhash64`` of ``shingle_width``
+    consecutive *token hashes* (out-of-range positions are NULL, which
+    Spark's hash expressions skip — exactly mirroring the truncated-shingle
+    semantics of ``word_shingles``' concat_ws). One checkpointed table of
+    distinct int64 shingle-hash arrays feeds the MinHash signature AND the
+    hashed verify stage.
+
+    ``rows_per_band > 1`` (the default call shape is 2 rows x ``bands``
+    bands) is what keeps the candidate set output-shaped on corpora where
+    unrelated documents share a nonzero background Jaccard b: a single-row
+    band fires on a false pair with prob ~bands*b (measured 20.9M candidates
+    = 3.3 % of the size-windowed pairs on the documents table at sf1.0),
+    while a 2-row band needs the same pair to agree twice — prob ~bands*b²
+    (measured 41k candidates, 500x fewer, same output).
 
     Verification is two-stage. Stage 1 intersects the *hashed* (int64)
     shingle sets — an 8-byte compare instead of a string compare — and keeps
@@ -344,16 +356,11 @@ def minhash_lsh_dedup(
     within-doc hash collision perturbing set sizes by a shingle or two
     cannot dismiss a true pair; a false dismissal now needs the hashed sim
     to sit > 0.05 below the true sim, probability ~|sg|²/2⁶⁴ per doc —
-    orders of magnitude below the LSH miss budget (1-t)^bands already
-    accepted). Stage 2 re-verifies the surviving pairs — the output-sized
-    set, not the candidate-sized one — on the exact *string* shingle sets,
-    so emitted sims are hash-basis-independent. Measured at sf0.1 with
-    2-word shingles over a low-entropy vocabulary (6.1M candidates = 49 %
-    of all pairs, the LSH worst case): 21.8 s → 7.3 s cold, identical rows.
-
-    The shingle table feeds the signature stage plus both verify stages —
-    checkpointed once; its exact row count then gates the dimension-sized
-    broadcast plan (see ``pipeline.BROADCAST_MAX_RECORDS``).
+    orders of magnitude below the LSH miss budget already accepted). Stage 2
+    re-verifies the surviving pairs — the output-sized set, not the
+    candidate-sized one — by rebuilding the exact *string* shingle sets from
+    the raw text of just those rows, so emitted sims are
+    hash-basis-independent.
     """
     from mapping_analysis_spark.pipeline import BROADCAST_MAX_RECORDS
 
@@ -376,41 +383,60 @@ def minhash_lsh_dedup(
         return _dense_jaccard_pairs(
             df, text_col, id_col, shingle_width, threshold, vocab
         )
-    sh = (
-        word_shingles(df, text_col, shingle_width)
-        .select(F.col(id_col).cast("string").alias("rid"), "sg")
+    txt = df.select(F.col(id_col).cast("string").alias("rid"), F.col(text_col).alias("_txt"))
+    # distinct int64 shingle hashes straight from token hashes — the _th
+    # binding via withColumn matters: an inlined split() is re-evaluated per
+    # element_at (O(n^2) per doc, see pipeline.doc_shingles)
+    feat = txt.withColumn(
+        "_th", F.transform(F.split(F.col("_txt"), " "), lambda tkn: F.xxhash64(tkn))
+    )
+    feat = (
+        feat.withColumn(
+            "hs",
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.greatest(F.lit(1), F.size("_th") - (shingle_width - 1)),
+                    ),
+                    lambda i: F.xxhash64(
+                        *[
+                            F.try_element_at(F.col("_th"), i + j)
+                            for j in range(shingle_width)
+                        ]
+                    ),
+                )
+            ),
+        )
+        .select("rid", "hs")
         .localCheckpoint(eager=True)
     )
     small = n_docs <= BROADCAST_MAX_RECORDS
-    mh = make_minhash_udf(num_hashes=bands, shingle_width=1)
-    sig = sh.select(
+    mh = make_minhash_udf(num_hashes=bands * rows_per_band, shingle_width=1)
+    sig = feat.select(
         "rid",
-        F.size("sg").alias("n_sg"),
+        F.size("hs").alias("n_sg"),
         mh(
-            F.transform(F.col("sg"), lambda s: F.pmod(F.xxhash64(s), F.lit(4294967296)))
+            F.transform(F.col("hs"), lambda h: F.pmod(h, F.lit(4294967296)))
         ).alias("minhash"),
     )
-    # in-join exact prune on the STRING-set sizes at ratio = threshold
-    # (Jaccard >= t forces min/max >= t) — cuts the hot-bucket pair volume
-    # before the candidate dedup shuffle
+    # in-join exact size-ratio prune at ratio = threshold (Jaccard >= t
+    # forces min/max >= t) — cuts the hot-bucket pair volume before the
+    # candidate dedup shuffle
     cand = lsh_band_pairs(
         sig,
         bands=bands,
-        rows_per_band=1,
+        rows_per_band=rows_per_band,
         broadcast_ok=small,
         size_col="n_sg",
         min_size_ratio=threshold,
     )
 
     margin = max(0.0, threshold - 0.05)
-    hs = sh.select(
-        "rid",
-        F.array_distinct(F.transform(F.col("sg"), lambda s: F.xxhash64(s))).alias("hs"),
-    )
-    ha = hs.select(
+    ha = feat.select(
         F.col("rid").alias("a_rid"), F.col("hs").alias("a_hs"), F.size("hs").alias("a_n")
     )
-    hb = hs.select(
+    hb = feat.select(
         F.col("rid").alias("b_rid"), F.col("hs").alias("b_hs"), F.size("hs").alias("b_n")
     )
     if small:
@@ -428,13 +454,31 @@ def minhash_lsh_dedup(
         )
         .select("a_rid", "b_rid")
     )
-    a = sh.select(F.col("rid").alias("a_rid"), F.col("sg").alias("a_sg"))
-    b = sh.select(F.col("rid").alias("b_rid"), F.col("sg").alias("b_sg"))
+    # exact string-shingle verify, built from raw text for the output-sized
+    # survivor set only
+    a = txt.select(F.col("rid").alias("a_rid"), F.col("_txt").alias("a_txt"))
+    b = txt.select(F.col("rid").alias("b_rid"), F.col("_txt").alias("b_txt"))
     if small:
         a, b = F.broadcast(a), F.broadcast(b)
+
+    def sg_of(tk_col: str):
+        tk = F.col(tk_col)
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.lit(1), F.size(tk) - (shingle_width - 1))),
+                lambda i: F.concat_ws(
+                    " ", *[F.try_element_at(tk, i + j) for j in range(shingle_width)]
+                ),
+            )
+        )
+
     v = (
         survivors.join(a, "a_rid")
         .join(b, "b_rid")
+        .withColumn("_atk", F.split(F.col("a_txt"), " "))
+        .withColumn("_btk", F.split(F.col("b_txt"), " "))
+        .withColumn("a_sg", sg_of("_atk"))
+        .withColumn("b_sg", sg_of("_btk"))
         .withColumn("sim", token_set_jaccard(F.col("a_sg"), F.col("b_sg")))
         .filter(F.col("sim") >= threshold)
     )
