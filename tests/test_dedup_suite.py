@@ -121,6 +121,15 @@ def test_simhash_banded_equals_bruteforce_when_hamming_lt_bands(spark):
     bset = {(r["a_doc"], r["b_doc"], r["hamming"]) for r in brute.collect()}
     assert banded == bset
     assert len(banded) > 0
+    # generalized pigeonhole (3-of-6 10-bit combo keys, the contract query's
+    # candidate shape): same provably-complete output, far fewer candidates
+    combo = {
+        (r["a_doc"], r["b_doc"], r["hamming"])
+        for r in simhash_dedup(
+            docs01, token_hash=md5_60, remix=False, n_bands=6, combo_bands=3
+        ).collect()
+    }
+    assert combo == bset
 
 
 def test_embedding_neardup_symmetric_and_thresholded(spark):
