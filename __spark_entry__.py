@@ -1581,7 +1581,9 @@ def q_conv_candidate_creator(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the dimension-sized broadcast plan (pipeline.BROADCAST_MAX_RECORDS)
     small = assign.count() <= BROADCAST_MAX_RECORDS
     clusters = assign.select(F.col("cluster_id").alias("cid")).distinct()
-    rec = conversation_records(_t(spark, sf_dir)).select("rid", "label")
+    # label and coordinates both come off the memoized attr checkpoint —
+    # no second full conversation aggregation
+    rec = _attr_records(spark, sf_dir).select("rid", "label")
     attrs = _attr_records(spark, sf_dir).select("rid", "lat", "lon")
     rec_c = rec.withColumnRenamed("rid", "cid")
     attrs_c = attrs.withColumnRenamed("rid", "cid")
@@ -1908,7 +1910,19 @@ _TYPE_NAMES = [
 ]
 
 
+_ATTR_CACHE: dict[tuple[str, str], DataFrame] = _register_cache({})
+
+
 def _attr_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived attribute table, memoized per (session, sf_dir) with an eager
+    localCheckpoint: six contract queries (pair geo/attr/type sims,
+    candidate creator, type-overlap CC, decomposition) consume it and each
+    replan the full 2M-turn conversation aggregation without the memo
+    (measured ~2 s per query at sf1.0)."""
+    key = _cache_key(spark, sf_dir)
+    cached = _ATTR_CACHE.get(key)
+    if cached is not None:
+        return cached
     rec = conversation_records(_t(spark, sf_dir))
     dl = F.length("doc")
     ll = F.length("label")
@@ -1916,8 +1930,9 @@ def _attr_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     t_arr = F.array(*[F.lit(x) for x in _TYPE_NAMES])
     t1 = F.element_at(t_arr, (ll % 7 + 1).cast("int"))
     t2 = F.element_at(t_arr, (nt % 7 + 1).cast("int"))
-    return rec.select(
+    out = rec.select(
         "rid",
+        "source",
         F.when(nt % 17 == 0, F.lit(95.0))
         .otherwise((dl.cast("bigint") * 7919 % 18000) / F.lit(100.0) - 90.0)
         .alias("lat"),
@@ -1932,7 +1947,9 @@ def _attr_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.array(t1))
         .alias("types"),
         "label",
-    )
+    ).localCheckpoint(eager=True)
+    _ATTR_CACHE[key] = out
+    return out
 
 
 _TYPES_SQL_LIST = "['" + "','".join(_TYPE_NAMES) + "']"
@@ -2186,7 +2203,7 @@ def q_conv_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=True
     )
     comp = connected_components(edges)
-    rec = conversation_records(_t(spark, sf_dir)).select("rid", "source")
+    rec = _attr_records(spark, sf_dir).select("rid", "source")
     assign = (
         rec.join(comp.withColumnRenamed("node", "rid"), "rid", "left")
         .withColumn("comp", F.coalesce(F.col("comp"), F.col("rid")))
