@@ -48,12 +48,76 @@ def idf_blocking(
     if not tokens_distinct:
         tok = tok.distinct()
     df_counts = tok.groupBy("tok").agg(F.count("*").alias("df")).filter(F.col("df") >= min_df)
+    joined = tok.join(F.broadcast(df_counts), "tok")
+    if support == top_k:
+        # Identical-top-set fast path: sharing >= support of the top_k
+        # rarest tokens, with support == top_k, forces the two records'
+        # top-k token SETS to be equal — so the share graph is a disjoint
+        # union of identical-top-set cliques and CC collapses to a groupBy
+        # on the sorted top set (min member id = the CC label). Replaces
+        # the per-record ranking window (a full sort of the exploded token
+        # table) + token self-join + CC with one aggregation and one key
+        # join; equivalence pinned by tests/test_operators.py::
+        # test_idf_blocking_fast_path_equals_general. Records with fewer
+        # than top_k distinct tokens can never reach the support and are
+        # excluded, as in the general path.
+        from mapping_analysis_spark.pipeline import BROADCAST_MAX_RECORDS
+
+        v = F.struct("df", "tok")
+        if records.count() <= BROADCAST_MAX_RECORDS:
+            # k successive min(struct(df, tok)) passes: min is map-side
+            # combinable, so each pass shuffles per-partition partial
+            # minima instead of the full exploded token table (measured
+            # 50M rows / ~2 GB at sf1.0); struct ordering is (df asc,
+            # tok asc) — identical to the general path's ranking window.
+            # Records with fewer than top_k distinct tokens drop out at
+            # the k-th inner join, as in the general path. The running-min
+            # table is record-sized, hence the broadcast gate.
+            prev = None
+            mins = []
+            for k in range(top_k):
+                src = joined if prev is None else joined.join(
+                    F.broadcast(prev), id_col
+                ).filter(v > F.col(f"_m{k - 1}"))
+                cur = src.groupBy(id_col).agg(F.min(v).alias(f"_m{k}"))
+                if prev is not None:
+                    cur = cur.join(F.broadcast(prev), id_col)
+                prev = cur
+                mins.append(f"_m{k}")
+            keyed = prev.select(
+                F.col(id_col),
+                # the token ARRAY is the group key (no separator-collision
+                # risk); same set => same global (df, tok) pairs => same
+                # order
+                F.array(*[F.col(m)["tok"] for m in sorted(mins)]).alias("_k"),
+            )
+        else:
+            # above the broadcast gate: one collect_list aggregation (still
+            # no ranking window, no token self-join, no CC)
+            keyed = (
+                joined.groupBy(id_col)
+                .agg(
+                    F.slice(
+                        F.array_sort(F.collect_list(v)), 1, top_k
+                    ).alias("_top")
+                )
+                .filter(F.size("_top") >= top_k)
+                .select(
+                    F.col(id_col),
+                    F.transform("_top", lambda s: s.tok).alias("_k"),
+                )
+            )
+        grp = (
+            keyed.groupBy("_k")
+            .agg(F.min(id_col).alias("idf_block"), F.count("*").alias("_c"))
+            .filter(F.col("_c") >= 2)
+        )
+        return keyed.join(grp, "_k").select(id_col, "idf_block")
     # idf desc ≡ document-frequency asc — rank on the integer so results are
     # engine-exact (float log() rounding differs across libm implementations)
     w = Window.partitionBy(id_col).orderBy(F.col("df").asc(), F.col("tok").asc())
     top = (
-        tok.join(F.broadcast(df_counts), "tok")
-        .withColumn("_rn", F.row_number().over(w))
+        joined.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= top_k)
         .select(id_col, "tok")
     )

@@ -244,3 +244,47 @@ def test_candidate_creator_lsh_branch(spark):
     selfs = {r["a_cid"] for r in out.collect() if r["a_cid"] == r["b_cid"]}
     assert got == {("c1", "c2"), ("c3", "c4")}
     assert selfs == {"c5"}
+
+
+def test_idf_blocking_fast_path_equals_general(spark):
+    """With support == top_k the identical-top-set fast path must reproduce
+    the general window + share-join + CC formulation exactly."""
+    import collections
+
+    from mapping_analysis_spark.functions.text import distinct_tokens
+    from mapping_analysis_spark.operators.decomposition import idf_blocking
+
+    t = spark.read.parquet(
+        "/root/repo/_synth/sf0.01/transcripts.parquet"
+    )
+    from mapping_analysis_spark.pipeline import conversation_records
+
+    rec = conversation_records(t).withColumn(
+        "toks", distinct_tokens(F.col("doc"))
+    ).select("rid", "toks")
+    fast = {
+        (r["rid"], r["idf_block"])
+        for r in idf_blocking(rec, top_k=2, support=2, tokens_distinct=True).collect()
+    }
+    # independent general-path replay in pure python
+    rows = rec.collect()
+    df_counts = collections.Counter()
+    for r in rows:
+        df_counts.update(set(r["toks"]))
+    top = {
+        r["rid"]: tuple(
+            t for _, t in sorted((df_counts[t], t) for t in set(r["toks"]))[:2]
+        )
+        for r in rows
+    }
+    groups = collections.defaultdict(list)
+    for rid, tp in top.items():
+        if len(tp) == 2:
+            groups[tp].append(rid)
+    expected = {
+        (rid, min(members))
+        for members in groups.values()
+        if len(members) >= 2
+        for rid in members
+    }
+    assert fast == expected and len(fast) > 0
