@@ -340,11 +340,22 @@ def representatives(
     counted = joined.groupBy(cluster_col, "turn_idx", "text").agg(
         F.count("*").alias("n_votes")
     )
-    w = Window.partitionBy(cluster_col, "turn_idx").orderBy(
-        F.col("n_votes").desc(), F.length("text").desc(), F.col("text").asc()
+    # winner per (cluster, turn) via a map-side-combinable min(struct):
+    # min over (-votes, -len, text) == the rank-1 row of the window ordered
+    # by (votes DESC, len DESC, text ASC), without the full sort a ranking
+    # window pays
+    win = counted.groupBy(cluster_col, "turn_idx").agg(
+        F.min(
+            F.struct(
+                (-F.col("n_votes")).alias("_nv"),
+                (-F.length("text")).alias("_nl"),
+                F.col("text").alias("text"),
+            )
+        ).alias("_w")
     )
-    return (
-        counted.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(cluster_col, "turn_idx", "text", "n_votes")
+    return win.select(
+        cluster_col,
+        "turn_idx",
+        F.col("_w.text").alias("text"),
+        (-F.col("_w._nv")).alias("n_votes"),
     )

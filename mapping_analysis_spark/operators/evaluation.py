@@ -31,9 +31,20 @@ def pair_quality(
     integer-millionths so the result is engine-deterministic)."""
     pp = cluster_pairs(predicted, pred_group, member_col)
     gp = cluster_pairs(gold, gold_group, member_col)
-    tp = pp.join(gp, ["a", "b"], "left_semi").count()
-    n_pred = pp.count()
-    n_gold = gp.count()
+    # ONE action: a full-outer join tags each pair with membership and a
+    # single aggregate reads off tp / n_pred / n_gold — the previous three
+    # separate counts re-executed the pair self-joins twice each
+    tagged = pp.withColumn("_p", F.lit(1)).join(
+        gp.withColumn("_g", F.lit(1)), ["a", "b"], "full_outer"
+    )
+    stats = tagged.agg(
+        F.count("_p").alias("n_pred"),
+        F.count("_g").alias("n_gold"),
+        F.count(F.when(F.col("_p").isNotNull() & F.col("_g").isNotNull(), 1)).alias(
+            "tp"
+        ),
+    ).collect()[0]
+    tp, n_pred, n_gold = int(stats["tp"]), int(stats["n_pred"]), int(stats["n_gold"])
     precision = tp / n_pred if n_pred else 0.0
     recall = tp / n_gold if n_gold else 0.0
     f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
