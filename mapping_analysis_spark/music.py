@@ -241,16 +241,24 @@ def music_input_edges(records: DataFrame) -> DataFrame:
 def music_scored_edges(records: DataFrame, edges: DataFrame) -> DataFrame:
     """DefaultPreprocessing: intra-source removal, trigram edge sim with the
     > 0.6 admission cutoff, then the BASIC 1:n link filter."""
-    e = remove_intra_source_links(edges, records, id_col="rid", source_col="source")
+    # the MusicBrainz record table is a checkpointed ~19k-row fixture —
+    # broadcast every (rid, payload) lookup side, removing four shuffle
+    # exchanges from a plan whose data fits in one partition
+    e = remove_intra_source_links(
+        edges, records, id_col="rid", source_col="source", broadcast_vertices=True
+    )
     ata = records.select("rid", "ata_norm")
     scored = (
-        e.join(ata.select(F.col("rid").alias("a"), F.col("ata_norm").alias("_na")), "a")
-        .join(ata.select(F.col("rid").alias("b"), F.col("ata_norm").alias("_nb")), "b")
+        e.join(F.broadcast(ata.select(F.col("rid").alias("a"), F.col("ata_norm").alias("_na"))), "a")
+        .join(F.broadcast(ata.select(F.col("rid").alias("b"), F.col("ata_norm").alias("_nb"))), "b")
         .withColumn("sim", trigram_cosine_simmetrics(F.col("_na"), F.col("_nb")))
         .filter(F.col("sim") > F.lit(MUSIC_EDGE_ADMISSION))
         .drop("_na", "_nb")
     )
-    return basic_link_filter(scored, records, id_col="rid", source_col="source", sim_col="sim")
+    return basic_link_filter(
+        scored, records, id_col="rid", source_col="source", sim_col="sim",
+        broadcast_vertices=True,
+    )
 
 
 def music_components(records: DataFrame, scored: DataFrame) -> DataFrame:

@@ -13,12 +13,19 @@ from pyspark.sql.types import StructField, StructType
 
 
 def remove_intra_source_links(
-    edges: DataFrame, vertices: DataFrame, id_col: str = "rid", source_col: str = "source"
+    edges: DataFrame, vertices: DataFrame, id_col: str = "rid", source_col: str = "source",
+    broadcast_vertices: bool = False,
 ) -> DataFrame:
     """Drop edges whose endpoints share a data source + dedup
-    (``model/functions/preprocessing/IntraSourceLinkRemover.java:43-57``)."""
+    (``model/functions/preprocessing/IntraSourceLinkRemover.java:43-57``).
+
+    ``broadcast_vertices=True`` (caller knows the vertex table is
+    dimension-sized, e.g. a checkpointed fixture): the two (id, source)
+    lookup sides are broadcast, removing two shuffle exchanges."""
     va = vertices.select(F.col(id_col).alias("a"), F.col(source_col).alias("_sa"))
     vb = vertices.select(F.col(id_col).alias("b"), F.col(source_col).alias("_sb"))
+    if broadcast_vertices:
+        va, vb = F.broadcast(va), F.broadcast(vb)
     return (
         edges.join(va, "a")
         .join(vb, "b")
@@ -76,19 +83,21 @@ def basic_link_filter(
     id_col: str = "rid",
     source_col: str = "source",
     sim_col: str = "sim",
+    broadcast_vertices: bool = False,
 ) -> DataFrame:
     """1:n link removal (``BasicLinkFilterFunction.java:46-79``): per vertex,
     per *neighbor source*, keep only the best link (sim DESC, then asc ids) —
     each entity links to at most one entity per other data source.
 
     Window ranking replaces the reference's groupReduceOnNeighbors+sortGroup.
+    ``broadcast_vertices``: see ``remove_intra_source_links``.
     """
     src = vertices.select(F.col(id_col), F.col(source_col))
-    e = (
-        scored_edges.join(
-            src.select(F.col(id_col).alias("a"), F.col(source_col).alias("_sa")), "a"
-        ).join(src.select(F.col(id_col).alias("b"), F.col(source_col).alias("_sb")), "b")
-    )
+    sa = src.select(F.col(id_col).alias("a"), F.col(source_col).alias("_sa"))
+    sb = src.select(F.col(id_col).alias("b"), F.col(source_col).alias("_sb"))
+    if broadcast_vertices:
+        sa, sb = F.broadcast(sa), F.broadcast(sb)
+    e = scored_edges.join(sa, "a").join(sb, "b")
     # rank from each endpoint's perspective against the partner's source
     wa = Window.partitionBy("a", "_sb").orderBy(F.col(sim_col).desc(), F.col("a").asc(), F.col("b").asc())
     wb = Window.partitionBy("b", "_sa").orderBy(F.col(sim_col).desc(), F.col("a").asc(), F.col("b").asc())
