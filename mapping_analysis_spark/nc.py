@@ -125,12 +125,16 @@ def nc_scored_edges(vertices: DataFrame, edges: DataFrame) -> DataFrame:
     """DefaultPreprocessing for NC: intra-source removal, 4-attribute mean
     similarity with the > 0.6 admission cutoff, BASIC 1:n link filter.
     Returns (a, b, sim)."""
-    e = remove_intra_source_links(edges, vertices, id_col="rid", source_col="source")
+    # NC fixtures are dimension-sized — broadcast the vertex lookup sides
+    e = remove_intra_source_links(
+        edges, vertices, id_col="rid", source_col="source", broadcast_vertices=True
+    )
     scored = nc_pair_sims(vertices, e).filter(
         F.col("sim") > F.lit(NC_EDGE_ADMISSION)
     )
     return basic_link_filter(
-        scored, vertices, id_col="rid", source_col="source", sim_col="sim"
+        scored, vertices, id_col="rid", source_col="source", sim_col="sim",
+        broadcast_vertices=True,
     )
 
 
