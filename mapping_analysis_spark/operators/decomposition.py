@@ -61,52 +61,45 @@ def idf_blocking(
         # test_idf_blocking_fast_path_equals_general. Records with fewer
         # than top_k distinct tokens can never reach the support and are
         # excluded, as in the general path.
-        from mapping_analysis_spark.pipeline import BROADCAST_MAX_RECORDS
+        import os
 
-        v = F.struct("df", "tok")
-        if records.count() <= BROADCAST_MAX_RECORDS:
-            # k successive min(struct(df, tok)) passes: min is map-side
-            # combinable, so each pass shuffles per-partition partial
-            # minima instead of the full exploded token table (measured
-            # 50M rows / ~2 GB at sf1.0); struct ordering is (df asc,
-            # tok asc) — identical to the general path's ranking window.
-            # Records with fewer than top_k distinct tokens drop out at
-            # the k-th inner join, as in the general path. The running-min
-            # table is record-sized, hence the broadcast gate.
-            prev = None
-            mins = []
-            for k in range(top_k):
-                src = joined if prev is None else joined.join(
-                    F.broadcast(prev), id_col
-                ).filter(v > F.col(f"_m{k - 1}"))
-                cur = src.groupBy(id_col).agg(F.min(v).alias(f"_m{k}"))
-                if prev is not None:
-                    cur = cur.join(F.broadcast(prev), id_col)
-                prev = cur
-                mins.append(f"_m{k}")
-            keyed = prev.select(
-                F.col(id_col),
-                # the token ARRAY is the group key (no separator-collision
-                # risk); same set => same global (df, tok) pairs => same
-                # order
-                F.array(*[F.col(m)["tok"] for m in sorted(mins)]).alias("_k"),
+        n_records = records.count()
+        # the broadcast tables on this path are slim id maps — a few bytes
+        # per record — so the gate is far higher than the token-array
+        # payload BROADCAST_MAX_RECORDS (2M records ~ 50 MB)
+        idf_bcast_max = int(os.environ.get("SPARK_GRAFT_IDF_BCAST_MAX", "2000000"))
+        if n_records <= idf_bcast_max:
+            # Provable pre-prune (cannot change the output): a record
+            # holding ANY globally-unique token (df = 1) has it in its
+            # top-k, and no partner can share it — so it never pairs, and
+            # dropping it does not affect other records' per-record
+            # selections. One cheap map-side-combined min(df) pass kills
+            # 46 % of records at sf1.0 before the heavy aggregation.
+            keep = (
+                joined.select(id_col, "df")
+                .groupBy(id_col)
+                .agg(F.min("df").alias("_mdf"))
+                .filter(F.col("_mdf") >= 2)
+                .select(id_col)
+                .localCheckpoint(eager=True)
             )
+            survivors = joined.join(F.broadcast(keep), id_col, "left_semi")
         else:
-            # above the broadcast gate: one collect_list aggregation (still
-            # no ranking window, no token self-join, no CC)
-            keyed = (
-                joined.groupBy(id_col)
-                .agg(
-                    F.slice(
-                        F.array_sort(F.collect_list(v)), 1, top_k
-                    ).alias("_top")
-                )
-                .filter(F.size("_top") >= top_k)
-                .select(
-                    F.col(id_col),
-                    F.transform("_top", lambda s: s.tok).alias("_k"),
-                )
+            survivors = joined
+        v = F.struct("df", "tok")
+        keyed = (
+            survivors.groupBy(id_col)
+            .agg(
+                F.slice(F.array_sort(F.collect_list(v)), 1, top_k).alias("_top")
             )
+            .filter(F.size("_top") >= top_k)
+            .select(
+                F.col(id_col),
+                # the token ARRAY is the group key; same set => same global
+                # (df, tok) pairs => same sorted order
+                F.transform("_top", lambda s: s.tok).alias("_k"),
+            )
+        )
         grp = (
             keyed.groupBy("_k")
             .agg(F.min(id_col).alias("idf_block"), F.count("*").alias("_c"))
