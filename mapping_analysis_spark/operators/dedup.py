@@ -31,6 +31,11 @@ DENSE_MASK_MB = int(os.environ.get("SPARK_GRAFT_DENSE_MASK_MB", "256"))
 # banded-LSH plan wins back because a wider vocabulary is exactly what makes
 # MinHash bands selective again. Plan choice only — both plans are exact.
 DENSE_GEMM_GFLOP_MAX = float(os.environ.get("SPARK_GRAFT_DENSE_GEMM_GFLOP_MAX", "5000"))
+# cost-model exchange rate above the always-cheap GEMM budget: one banded-LSH
+# candidate pair costs ~the same wall time as this many GEMM flops (hash-set
+# intersection + shuffle vs dense fused multiply-add); used to pick the
+# cheaper of the two exact plans when both are expensive
+DENSE_FLOP_PER_CAND = float(os.environ.get("SPARK_GRAFT_DENSE_FLOP_PER_CAND", "7500"))
 # per-worker budget for caching the fully-unpacked float32 mask matrix
 # across tasks AND invocations (reused Python workers, guide §4.5); keyed by
 # a content digest so a stale cache can never serve wrong data
@@ -76,29 +81,91 @@ def _py_shingles(text: str, width: int) -> set:
     return {" ".join(tk[i : i + width]) for i in range(n)}
 
 
-def _dense_gates_ok(n_docs: int, vocab_size: int) -> bool:
-    """Gate predicate, monotone in vocab_size: vocabulary bound, mask-table
-    bytes, and GEMM work all within budget."""
+def _dense_fits(n_docs: int, vocab_size: int) -> bool:
+    """Feasibility gates, monotone in vocab_size: vocabulary bound and
+    mask-table bytes within budget."""
     return (
         vocab_size <= DENSE_VOCAB_MAX
         and n_docs * ((vocab_size + 7) // 8 + 32) <= DENSE_MASK_MB * 2**20
-        and (n_docs * n_docs / 2) * vocab_size <= DENSE_GEMM_GFLOP_MAX * 1e9
     )
 
 
-def _dense_vocab_or_none(
-    df: DataFrame, text_col: str, width: int, n_docs: int
-) -> list[str] | None:
-    """The dense-route gate: the sorted distinct-shingle vocabulary if all
-    gates pass, else None.
+def _lsh_candidates_est(
+    sample_sets: list, n_docs: int, bands: int, rows_per_band: int
+) -> float:
+    """Expected banded-LSH candidate-pair count for the corpus, estimated
+    from the sample's pairwise Jaccard distribution: a pair with Jaccard s
+    becomes a candidate with prob 1-(1-s^r)^b. Computed with a tiny numpy
+    bitmask GEMM over the sample (<= 1024 docs, vocab <= DENSE_VOCAB_MAX
+    when called)."""
+    import numpy as np
 
-    Two phases so ineligible corpora bail out cheaply: a 1k-doc sample's
-    distinct count is a lower bound on the corpus vocabulary — every gate
-    is monotone decreasing in vocab size, so failing the gates at the
-    sample count proves the full corpus fails too, skipping the full pass.
-    Only plausibly-eligible corpora pay one distinct pass over per-partition
-    shingle sets (collect bounded at DENSE_VOCAB_MAX + 1 rows)."""
+    n = len(sample_sets)
+    if n < 2:
+        return 0.0
+    vi: dict = {}
+    for s in sample_sets:
+        for g in s:
+            vi.setdefault(g, len(vi))
+    bits = np.zeros((n, len(vi)), dtype=np.float32)
+    sizes = np.zeros(n, dtype=np.float64)
+    for r, s in enumerate(sample_sets):
+        bits[r, [vi[g] for g in s]] = 1.0
+        sizes[r] = len(s)
+    inter = (bits @ bits.T).astype(np.float64)
+    union = sizes[:, None] + sizes[None, :] - inter
+    np.maximum(union, 1.0, out=union)
+    sim = inter / union
+    iu = np.triu_indices(n, k=1)
+    p_cand = 1.0 - (1.0 - sim[iu] ** rows_per_band) ** bands
+    return float(p_cand.mean()) * (n_docs * (n_docs - 1) / 2)
+
+
+def _dense_vocab_or_none(
+    df: DataFrame,
+    text_col: str,
+    width: int,
+    n_docs: int,
+    bands: int,
+    rows_per_band: int,
+) -> list[str] | None:
+    """The dense-route gate: the sorted distinct-shingle vocabulary if the
+    dense plan is feasible AND cheaper, else None.
+
+    Decision structure (pure plan choice — both plans are exact):
+    1. a <=1k-doc sample is collected; its distinct-shingle count is a
+       lower bound on the corpus vocabulary, and the feasibility gates are
+       monotone decreasing in vocab size, so ineligible (high-entropy)
+       corpora bail out here without a full pass;
+    2. one distributed distinct pass collects the exact vocabulary
+       (bounded at DENSE_VOCAB_MAX + 1 rows) and re-checks feasibility;
+    3. admission: GEMM work n²/2·|vocab| below the always-cheap budget
+       (DENSE_GEMM_GFLOP_MAX) admits outright; above it, the expected
+       banded-LSH candidate count — estimated from the sample's pairwise
+       Jaccard distribution — decides on cost: dense wins when its FLOPs
+       are under DENSE_FLOP_PER_CAND x the candidates LSH would have to
+       verify (a candidate costs ~hundreds of ns of hashing/intersection
+       vs ~fractions of ns per GEMM flop). This is what keeps the dense
+       plan selected on low-entropy corpora at any scale factor (where
+       banding degenerates toward all-pairs) while high-entropy corpora
+       keep LSH even when the vocabulary technically fits.
+    """
     import pandas as pd
+
+    sample_rows = df.select(F.col(text_col)).limit(_DENSE_SAMPLE_DOCS).collect()
+    sample_sets = [_py_shingles(r[0], width) for r in sample_rows]
+    sample_vocab: set = set().union(*sample_sets) if sample_sets else set()
+    if not _dense_fits(n_docs, len(sample_vocab)):
+        return None
+    # early cost rejection on the sample's vocab LOWER bound: GEMM work only
+    # grows with the true vocabulary, so losing the cost comparison already
+    # at the lower bound proves the full corpus loses too — skip the full
+    # distinct pass (saves ~2 s per invocation on the 3-gram documents path)
+    gemm_lb = (n_docs * n_docs / 2) * len(sample_vocab)
+    if gemm_lb > DENSE_GEMM_GFLOP_MAX * 1e9:
+        cand = _lsh_candidates_est(sample_sets, n_docs, bands, rows_per_band)
+        if gemm_lb > cand * DENSE_FLOP_PER_CAND:
+            return None
 
     def part_vocab(batches):
         seen: set = set()
@@ -110,24 +177,20 @@ def _dense_vocab_or_none(
                     return
         yield pd.DataFrame({"s": list(seen)})
 
-    txt = df.select(F.col(text_col))
-    sample = (
-        txt.limit(_DENSE_SAMPLE_DOCS)
-        .mapInPandas(part_vocab, "s string")
-        .distinct()
-        .limit(DENSE_VOCAB_MAX + 2)
-        .count()
-    )
-    if not _dense_gates_ok(n_docs, int(sample)):
-        return None
     vocab_rows = (
-        txt.mapInPandas(part_vocab, "s string")
+        df.select(F.col(text_col))
+        .mapInPandas(part_vocab, "s string")
         .distinct()
         .limit(DENSE_VOCAB_MAX + 1)
         .collect()
     )
-    if not _dense_gates_ok(n_docs, len(vocab_rows)):
+    if not _dense_fits(n_docs, len(vocab_rows)):
         return None
+    gemm_flops = (n_docs * n_docs / 2) * len(vocab_rows)
+    if gemm_flops > DENSE_GEMM_GFLOP_MAX * 1e9:
+        cand = _lsh_candidates_est(sample_sets, n_docs, bands, rows_per_band)
+        if gemm_flops > cand * DENSE_FLOP_PER_CAND:
+            return None
     return sorted(r.s for r in vocab_rows)
 
 
@@ -378,7 +441,9 @@ def minhash_lsh_dedup(
     # plan choice. Gated BEFORE any shingle materialization: the dense route
     # never builds string-shingle arrays at all.
     n_docs = df.count()
-    vocab = _dense_vocab_or_none(df, text_col, shingle_width, n_docs)
+    vocab = _dense_vocab_or_none(
+        df, text_col, shingle_width, n_docs, bands, rows_per_band
+    )
     if vocab is not None:
         return _dense_jaccard_pairs(
             df, text_col, id_col, shingle_width, threshold, vocab
