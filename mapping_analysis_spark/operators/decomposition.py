@@ -48,69 +48,12 @@ def idf_blocking(
     if not tokens_distinct:
         tok = tok.distinct()
     df_counts = tok.groupBy("tok").agg(F.count("*").alias("df")).filter(F.col("df") >= min_df)
-    joined = tok.join(F.broadcast(df_counts), "tok")
-    if support == top_k:
-        # Identical-top-set fast path: sharing >= support of the top_k
-        # rarest tokens, with support == top_k, forces the two records'
-        # top-k token SETS to be equal — so the share graph is a disjoint
-        # union of identical-top-set cliques and CC collapses to a groupBy
-        # on the sorted top set (min member id = the CC label). Replaces
-        # the per-record ranking window (a full sort of the exploded token
-        # table) + token self-join + CC with one aggregation and one key
-        # join; equivalence pinned by tests/test_operators.py::
-        # test_idf_blocking_fast_path_equals_general. Records with fewer
-        # than top_k distinct tokens can never reach the support and are
-        # excluded, as in the general path.
-        import os
-
-        n_records = records.count()
-        # the broadcast tables on this path are slim id maps — a few bytes
-        # per record — so the gate is far higher than the token-array
-        # payload BROADCAST_MAX_RECORDS (2M records ~ 50 MB)
-        idf_bcast_max = int(os.environ.get("SPARK_GRAFT_IDF_BCAST_MAX", "2000000"))
-        if n_records <= idf_bcast_max:
-            # Provable pre-prune (cannot change the output): a record
-            # holding ANY globally-unique token (df = 1) has it in its
-            # top-k, and no partner can share it — so it never pairs, and
-            # dropping it does not affect other records' per-record
-            # selections. One cheap map-side-combined min(df) pass kills
-            # 46 % of records at sf1.0 before the heavy aggregation.
-            keep = (
-                joined.select(id_col, "df")
-                .groupBy(id_col)
-                .agg(F.min("df").alias("_mdf"))
-                .filter(F.col("_mdf") >= 2)
-                .select(id_col)
-                .localCheckpoint(eager=True)
-            )
-            survivors = joined.join(F.broadcast(keep), id_col, "left_semi")
-        else:
-            survivors = joined
-        v = F.struct("df", "tok")
-        keyed = (
-            survivors.groupBy(id_col)
-            .agg(
-                F.slice(F.array_sort(F.collect_list(v)), 1, top_k).alias("_top")
-            )
-            .filter(F.size("_top") >= top_k)
-            .select(
-                F.col(id_col),
-                # the token ARRAY is the group key; same set => same global
-                # (df, tok) pairs => same sorted order
-                F.transform("_top", lambda s: s.tok).alias("_k"),
-            )
-        )
-        grp = (
-            keyed.groupBy("_k")
-            .agg(F.min(id_col).alias("idf_block"), F.count("*").alias("_c"))
-            .filter(F.col("_c") >= 2)
-        )
-        return keyed.join(grp, "_k").select(id_col, "idf_block")
     # idf desc ≡ document-frequency asc — rank on the integer so results are
     # engine-exact (float log() rounding differs across libm implementations)
     w = Window.partitionBy(id_col).orderBy(F.col("df").asc(), F.col("tok").asc())
     top = (
-        joined.withColumn("_rn", F.row_number().over(w))
+        tok.join(F.broadcast(df_counts), "tok")
+        .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= top_k)
         .select(id_col, "tok")
     )

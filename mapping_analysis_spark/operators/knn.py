@@ -158,24 +158,13 @@ def ivf_centroids(base: DataFrame, n_cells: int, iters: int) -> DataFrame:
     cents = seeds
     for _ in range(iters):
         sim = _cosine(F.col("v"), F.col("n2"), F.col("c"), F.col("cn"))
-        # nearest cell via map-side-combinable min over (-sim, cell): equal
-        # to the rank-1 row of a (sim DESC, cell ASC) window — cell is
-        # unique per candidate row, so the payload fields never tie-break —
-        # without the window's full shuffle+sort
+        w = Window.partitionBy("nn_id").orderBy(F.col("sim").desc(), F.col("cell").asc())
         assign = (
             base.crossJoin(F.broadcast(cents))
             .withColumn("sim", sim)
-            .groupBy("nn_id")
-            .agg(
-                F.min(
-                    F.struct(
-                        (-F.col("sim")).alias("_ns"),
-                        F.col("cell").alias("cell"),
-                        F.col("v").alias("v"),
-                    )
-                ).alias("_b")
-            )
-            .select(F.col("_b.cell").alias("cell"), F.col("_b.v").alias("v"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("cell", "v")
         )
         comp = (
             assign.select("cell", F.posexplode(F.col("v")).alias("pos", "x"))
@@ -230,27 +219,13 @@ def ivf_topk(
     cents = ivf_centroids(base, n_cells, iters).localCheckpoint(eager=True)
 
     sim_vc = _cosine(F.col("v"), F.col("n2"), F.col("c"), F.col("cn"))
-    # nearest-cell pick via min(-sim, cell) aggregation — see ivf_centroids
+    w_assign = Window.partitionBy("nn_id").orderBy(F.col("sim").desc(), F.col("cell").asc())
     lists = (
         base.crossJoin(F.broadcast(cents))
         .withColumn("sim", sim_vc)
-        .groupBy("nn_id")
-        .agg(
-            F.min(
-                F.struct(
-                    (-F.col("sim")).alias("_ns"),
-                    F.col("cell").alias("cell"),
-                    F.col("v").alias("v"),
-                    F.col("n2").alias("n2"),
-                )
-            ).alias("_b")
-        )
-        .select(
-            F.col("_b.cell").alias("cell"),
-            F.col("nn_id"),
-            F.col("_b.v").alias("v"),
-            F.col("_b.n2").alias("n2"),
-        )
+        .withColumn("rk", F.row_number().over(w_assign))
+        .filter(F.col("rk") == 1)
+        .select("cell", "nn_id", "v", "n2")
     )
 
     q = queries.select(
