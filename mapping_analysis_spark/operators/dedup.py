@@ -25,12 +25,11 @@ from mapping_analysis_spark.operators.blocking import lsh_band_pairs
 # between two exact plans, so it can never change results.
 DENSE_VOCAB_MAX = int(os.environ.get("SPARK_GRAFT_DENSE_VOCAB_MAX", "32768"))
 DENSE_MASK_MB = int(os.environ.get("SPARK_GRAFT_DENSE_MASK_MB", "256"))
-# GEMM work budget for the dense route: the pair scan costs ~n²/2 × |vocab|
-# multiply-adds, so admit it only when that stays under a cluster-seconds
-# budget (default 5 TFLOP ≈ single-digit seconds on 32 cores). Above it the
-# banded-LSH plan wins back because a wider vocabulary is exactly what makes
-# MinHash bands selective again. Plan choice only — both plans are exact.
-DENSE_GEMM_GFLOP_MAX = float(os.environ.get("SPARK_GRAFT_DENSE_GEMM_GFLOP_MAX", "5000"))
+# Always-dense floor: below this GEMM work (n²/2 × |vocab| multiply-adds)
+# the dense scan is trivially cheap and is taken without estimating LSH's
+# cost; above it the sample-based cost comparison decides (see
+# _dense_vocab_or_none). Plan choice only — both plans are exact.
+DENSE_GEMM_GFLOP_MAX = float(os.environ.get("SPARK_GRAFT_DENSE_GEMM_GFLOP_MAX", "50"))
 # cost-model exchange rate above the always-cheap GEMM budget: one banded-LSH
 # candidate pair costs ~the same wall time as this many GEMM flops (hash-set
 # intersection + shuffle vs dense fused multiply-add); used to pick the
@@ -299,8 +298,11 @@ def _dense_jaccard_pairs(
     # (reused) worker process: grid alignment makes slabs shareable across
     # tasks and invocations (digest-keyed, so a stale entry can never serve
     # wrong data), and a pool-churned fresh worker only unpacks the 2-3
-    # slabs its chunk touches instead of the whole matrix
-    slab_rows = 8192
+    # slabs its chunk touches instead of the whole matrix. Grid height
+    # scales with vocab width so one unpacked slab stays ~64 MB — a fixed
+    # 8192-row grid at a 23k-bit vocab made 750 MB slabs that blew the
+    # worker cache cap and thrashed (measured 13 s vs 2 s at sf0.1)
+    slab_rows = max(1024, (64 * 2**20) // max(1, nbits * 4))
     cache_cap = DENSE_UNPACK_CACHE_MB * 2**20
 
     def scan(batches):
